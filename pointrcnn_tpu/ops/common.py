@@ -1,0 +1,57 @@
+"""Shared helpers for the point-cloud op library."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def square_distance(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise squared euclidean distance.
+
+    ``a``: (..., S, 3), ``b``: (..., N, 3) -> (..., S, N).
+    Computed as |a|^2 + |b|^2 - 2 a.b so the inner product lands on the MXU.
+    """
+    a2 = jnp.sum(a * a, axis=-1)[..., :, None]
+    b2 = jnp.sum(b * b, axis=-1)[..., None, :]
+    # geometry needs full f32 — the TPU default matmul precision is bf16,
+    # which perturbs neighbor selection; the K=3 contraction is cheap anyway
+    ab = jnp.einsum(
+        "...sc,...nc->...sn", a, b,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.maximum(a2 + b2 - 2.0 * ab, 0.0)
+
+
+def chunked_map(fn, x: jnp.ndarray, chunk: int) -> jnp.ndarray:
+    """Apply ``fn: (B, chunk, ...) -> (B, chunk, ...out)`` sequentially over
+    fixed-size chunks of axis 1.
+
+    Bounds peak memory of dense pairwise computations (distance matrices,
+    IoU matrices) without dynamic shapes: the chunk count is static and the
+    loop is a ``lax.map``.  ``chunk`` must divide the axis length; callers use
+    power-of-two sizes throughout.
+    """
+    B, S = x.shape[0], x.shape[1]
+    if chunk >= S:
+        return fn(x)
+    assert S % chunk == 0, f"chunk {chunk} must divide axis length {S}"
+    xs = x.reshape((B, S // chunk, chunk) + x.shape[2:])
+    xs = jnp.moveaxis(xs, 1, 0)  # (num_chunks, B, chunk, ...)
+    ys = jax.lax.map(fn, xs)  # (num_chunks, B, chunk, ...out)
+    ys = jnp.moveaxis(ys, 0, 1)  # (B, num_chunks, chunk, ...out)
+    return ys.reshape((B, S) + ys.shape[3:])
+
+
+def gather_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Batched index gather.
+
+    ``points``: (B, N, C); ``idx``: (B, ...) int32 -> (B, ..., C).
+    TPU-native replacement for the reference's ``gather_points`` /
+    ``group_points`` CUDA ops (Pointnet2.PyTorch src/): one XLA gather.
+    """
+    B, N, C = points.shape
+    flat = idx.reshape(B, -1)
+    out = jnp.take_along_axis(points, flat[..., None], axis=1)
+    return out.reshape(idx.shape + (C,))

@@ -1,0 +1,107 @@
+"""Ball query, grouping, and 3-NN feature interpolation.
+
+TPU-native equivalents of the reference's PointNet++ CUDA primitives
+``ball_query``, ``group_points``, ``three_nn``, ``three_interpolate``
+(Pointnet2.PyTorch submodule; consumed via PointnetSAModuleMSG /
+PointnetFPModule at lib/net/pointnet2_msg.py:26-45, lib/net/rcnn_net.py:28-42).
+
+Everything is dense and fixed-shape: per-centroid neighborhoods are the first
+``nsample`` in-radius points *in point order* (identical to the CUDA fill
+semantics, including padding with the first hit and all-zeros when empty),
+selected with a top-k over an integer order key instead of a sequential scan.
+Pairwise distance matrices are computed in centroid chunks to bound VMEM/HBM
+pressure.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pointrcnn_tpu.ops.common import chunked_map, gather_points, square_distance
+
+
+def ball_query(
+    xyz: jnp.ndarray,
+    new_xyz: jnp.ndarray,
+    radius: float,
+    nsample: int,
+    chunk: int = 512,
+) -> jnp.ndarray:
+    """First-``nsample``-in-order in-radius neighbors.
+
+    :param xyz: (B, N, 3) all points
+    :param new_xyz: (B, S, 3) query centroids
+    :return: (B, S, nsample) int32 indices into N.
+        Slots beyond the hit count repeat the first hit; rows with no hits
+        are all-zero (CUDA ball_query semantics).
+    """
+    B, N, _ = xyz.shape
+    r2 = jnp.float32(radius) ** 2
+
+    def per_chunk(centroids):  # (B, C, 3) -> (B, C, nsample)
+        d2 = square_distance(centroids, xyz)  # (B, C, N)
+        order = jnp.where(d2 < r2, jax.lax.broadcasted_iota(jnp.int32, d2.shape, 2), N)
+        neg_vals, _ = jax.lax.top_k(-order, nsample)  # k smallest order keys
+        vals = -neg_vals  # ascending: first hits in point order, N = no hit
+        first = vals[..., :1]
+        idx = jnp.where(vals < N, vals, jnp.minimum(first, N - 1))
+        idx = jnp.where(first >= N, 0, idx)
+        return idx.astype(jnp.int32)
+
+    return chunked_map(per_chunk, new_xyz, chunk)
+
+
+def group_points(
+    xyz: jnp.ndarray,
+    features: jnp.ndarray | None,
+    new_xyz: jnp.ndarray,
+    idx: jnp.ndarray,
+    use_xyz: bool = True,
+) -> jnp.ndarray:
+    """Gather neighborhoods and localize coordinates.
+
+    :param xyz: (B, N, 3); features: (B, N, C) or None; new_xyz: (B, S, 3)
+    :param idx: (B, S, nsample)
+    :return: (B, S, nsample, 3+C) — relative xyz concatenated with features
+        (QueryAndGroup semantics from the reference pointnet2 lib).
+    """
+    grouped_xyz = gather_points(xyz, idx) - new_xyz[:, :, None, :]
+    if features is None:
+        return grouped_xyz
+    grouped_feats = gather_points(features, idx)
+    if use_xyz:
+        return jnp.concatenate([grouped_xyz, grouped_feats], axis=-1)
+    return grouped_feats
+
+
+def three_nn(unknown: jnp.ndarray, known: jnp.ndarray, chunk: int = 2048):
+    """3 nearest neighbors of each unknown point among the known points.
+
+    :param unknown: (B, n, 3); known: (B, m, 3)
+    :return: (dist, idx) both (B, n, 3) — euclidean distances and indices.
+    """
+    def per_chunk(uc):  # (B, C, 3) -> (B, C, 6) packed [d3 | i3]
+        d2 = square_distance(uc, known)  # (B, C, m)
+        neg, idx = jax.lax.top_k(-d2, 3)
+        dist = jnp.sqrt(jnp.maximum(-neg, 0.0))
+        return jnp.concatenate([dist, idx.astype(jnp.float32)], axis=-1)
+
+    packed = chunked_map(per_chunk, unknown, chunk)
+    return packed[..., :3], packed[..., 3:].astype(jnp.int32)
+
+
+def three_interpolate(
+    features: jnp.ndarray, idx: jnp.ndarray, dist: jnp.ndarray
+) -> jnp.ndarray:
+    """Inverse-distance-weighted interpolation.
+
+    :param features: (B, m, C) known features
+    :param idx: (B, n, 3); dist: (B, n, 3)
+    :return: (B, n, C)
+    Weights are 1/(d+1e-8) normalised (reference PointnetFPModule semantics).
+    """
+    recip = 1.0 / (dist + 1e-8)
+    weight = recip / jnp.sum(recip, axis=-1, keepdims=True)  # (B, n, 3)
+    neighbors = gather_points(features, idx)  # (B, n, 3, C)
+    return jnp.sum(neighbors * weight[..., None], axis=2)

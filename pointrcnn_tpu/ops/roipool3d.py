@@ -1,0 +1,60 @@
+"""RoI-aware point pooling.
+
+TPU-native equivalent of the reference's roipool3d CUDA extension
+(lib/utils/roipool3d/src/roipool3d_kernel.cu).  Matches the kernel's exact
+selection semantics: the first ``num_sampled`` in-box points *in point
+order*, cyclically duplicated (slot k takes hit ``k % cnt``) when a box has
+fewer, and an empty flag when it has none (roipool3d_kernel.cu:123-160).
+Selection is a top-k over integer order keys instead of a sequential scan.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pointrcnn_tpu.ops.common import gather_points
+from pointrcnn_tpu.utils.box_ops import enlarge_box3d, points_in_boxes3d
+
+
+def roipool3d(
+    xyz: jnp.ndarray,
+    features: jnp.ndarray,
+    boxes3d: jnp.ndarray,
+    extra_width: float,
+    num_sampled: int,
+):
+    """Pool points + features inside (enlarged) boxes.
+
+    :param xyz: (B, N, 3); features: (B, N, C); boxes3d: (B, M, 7)
+    :return: (pooled (B, M, num_sampled, 3 + C), empty_flag (B, M) bool)
+        pooled xyz are in the original frame (canonical transform is the
+        caller's job, as in the reference rcnn_net.py:146-153).
+    """
+    B, N, _ = xyz.shape
+    big = enlarge_box3d(boxes3d, extra_width)
+    mask = points_in_boxes3d(xyz, big)  # (B, M, N)
+
+    order = jnp.where(mask, jax.lax.broadcasted_iota(jnp.int32, mask.shape, 2), N)
+    neg, _ = jax.lax.top_k(-order, num_sampled)
+    hits = -neg  # (B, M, K) ascending first-hit indices, N where no hit
+    cnt = jnp.sum(mask, axis=-1)  # (B, M)
+    empty = cnt == 0
+
+    k = jax.lax.broadcasted_iota(jnp.int32, hits.shape, 2)
+    wrap = k % jnp.maximum(cnt[..., None], 1)
+    sel = jnp.where(k < cnt[..., None], k, wrap)
+    idx = jnp.take_along_axis(hits, sel, axis=-1)
+    idx = jnp.where(empty[..., None], 0, idx)
+
+    pooled_xyz = gather_points(xyz, idx)  # (B, M, K, 3)
+    pooled_feat = gather_points(features, idx)  # (B, M, K, C)
+    pooled = jnp.concatenate([pooled_xyz, pooled_feat], axis=-1)
+    pooled = jnp.where(empty[..., None, None], 0.0, pooled)
+    return pooled, empty
+
+
+def pts_in_boxes3d(pts: jnp.ndarray, boxes3d: jnp.ndarray) -> jnp.ndarray:
+    """(N, 3) x (M, 7) -> (M, N) bool; unbatched point-in-box test
+    (reference roipool3d.cpp:97-125 CPU op, used by gt-database tooling)."""
+    return points_in_boxes3d(pts, boxes3d)
