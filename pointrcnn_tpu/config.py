@@ -17,34 +17,58 @@ import numpy as np
 import yaml
 
 
-class ConfigNode(dict):
-    """Dict with attribute access and an immutability latch.
+class ConfigNode:
+    """Attribute/mapping hybrid with an immutability latch.
 
     Unlike the reference's easydict (mutated globally at import time by CLI
     tools, lib/config.py:5-6), a ConfigNode is frozen after construction;
-    updates produce new trees via :func:`merge` / :func:`override`.
+    updates produce new trees via :func:`merge_from_file` /
+    :func:`merge_from_list`.  Deliberately *not* a dict subclass so flax
+    modules can hold one as a static attribute without it being coerced to a
+    FrozenDict.
     """
 
-    __frozen__ = False
+    def __init__(self):
+        object.__setattr__(self, "_frozen", False)
+        object.__setattr__(self, "_data", {})
 
     def __getattr__(self, name: str) -> Any:
         try:
-            return self[name]
+            return self.__dict__["_data"][name]
         except KeyError as e:
             raise AttributeError(name) from e
 
     def __setattr__(self, name: str, value: Any) -> None:
-        if self.__frozen__:
-            raise AttributeError(f"Config is frozen; cannot set {name!r}")
         self[name] = value
 
     def __setitem__(self, key, value):
-        if self.__frozen__:
+        if self._frozen:
             raise TypeError(f"Config is frozen; cannot set {key!r}")
-        super().__setitem__(key, value)
+        self._data[key] = value
+
+    def __getitem__(self, key):
+        return self._data[key]
+
+    def __contains__(self, key):
+        return key in self._data
+
+    def __iter__(self):
+        return iter(self._data)
+
+    def keys(self):
+        return self._data.keys()
+
+    def values(self):
+        return self._data.values()
+
+    def items(self):
+        return self._data.items()
+
+    def __repr__(self):
+        return f"ConfigNode({self._data!r})"
 
     def freeze(self) -> "ConfigNode":
-        object.__setattr__(self, "__frozen__", True)
+        object.__setattr__(self, "_frozen", True)
         for v in self.values():
             if isinstance(v, ConfigNode):
                 v.freeze()
@@ -57,13 +81,16 @@ class ConfigNode(dict):
         return out
 
     def __deepcopy__(self, memo):
-        return self.thaw()
+        out = self.thaw()
+        if self._frozen:
+            out.freeze()
+        return out
 
     def __hash__(self):  # for use as a jit static argument
         return hash(_freeze_value(self))
 
     def __eq__(self, other):
-        if not isinstance(other, dict):
+        if not isinstance(other, (dict, ConfigNode)):
             return NotImplemented
         return _freeze_value(self) == _freeze_value(other)
 
@@ -72,7 +99,7 @@ class ConfigNode(dict):
 
 
 def _freeze_value(v):
-    if isinstance(v, dict):
+    if isinstance(v, (dict, ConfigNode)):
         return tuple(sorted((k, _freeze_value(x)) for k, x in v.items()))
     if isinstance(v, np.ndarray):
         return (v.shape, str(v.dtype), tuple(v.ravel().tolist()))

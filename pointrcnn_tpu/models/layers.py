@@ -1,0 +1,126 @@
+"""Flax building blocks shared by the RPN and RCNN networks.
+
+Channel-last (B, ..., C) throughout — 1x1 Conv1d/Conv2d stacks from the
+reference (pointnet2_lib pytorch_utils.Conv1d / SharedMLP, consumed at
+lib/net/rpn.py:19-46, lib/net/rcnn_net.py:21-81) become Dense layers over the
+trailing axis, which XLA maps straight onto the MXU.
+
+BatchNorm is hand-rolled (instead of flax.linen.BatchNorm) because the
+reference schedules BN momentum per epoch (BNMomentumScheduler,
+tools/train_utils/train_utils.py:24-45): momentum must be a *runtime* scalar,
+not a module attribute.  Torch conventions: running = (1-m)*running + m*batch,
+unbiased variance in the running update, eps 1e-5.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+# torch Conv default init: kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in))
+torch_conv_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+xavier_normal = nn.initializers.glorot_normal()
+
+
+def final_layer_init(std: float = 0.001):
+    return nn.initializers.normal(stddev=std)
+
+
+class BatchNorm(nn.Module):
+    """Torch-convention batch norm with runtime momentum."""
+
+    eps: float = 1e-5
+    axis_name: str | None = None  # set to sync stats across a mesh axis
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool, momentum) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable("batch_stats", "mean", nn.initializers.zeros, None, (c,))
+        ra_var = self.variable("batch_stats", "var", nn.initializers.ones, None, (c,))
+
+        if train:
+            reduce_axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(x, axis=reduce_axes)
+            mean2 = jnp.mean(jnp.square(x), axis=reduce_axes)
+            if self.axis_name is not None:
+                mean = jax.lax.pmean(mean, self.axis_name)
+                mean2 = jax.lax.pmean(mean2, self.axis_name)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                n = 1
+                for d in x.shape[:-1]:
+                    n *= d
+                unbiased = var * (n / max(n - 1, 1))
+                m = jnp.asarray(momentum, ra_mean.value.dtype)
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        inv = jax.lax.rsqrt(var + self.eps) * scale
+        return (x - mean) * inv + bias
+
+
+class ConvBN(nn.Module):
+    """Dense (+BN) (+ReLU) — the reference's Conv1d/Conv2d-k1 block."""
+
+    features: int
+    bn: bool = True
+    activation: bool = True
+    kernel_init: nn.initializers.Initializer = torch_conv_init
+    use_bias: bool | None = None  # default: bias iff no BN (pt_utils convention)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False, bn_momentum=0.1) -> jnp.ndarray:
+        use_bias = (not self.bn) if self.use_bias is None else self.use_bias
+        x = nn.Dense(self.features, use_bias=use_bias, kernel_init=self.kernel_init)(x)
+        if self.bn:
+            x = BatchNorm()(x, train, bn_momentum)
+        if self.activation:
+            x = nn.relu(x)
+        return x
+
+
+class SharedMLP(nn.Module):
+    """Stack of ConvBN blocks (reference pt_utils.SharedMLP)."""
+
+    features: Sequence[int]
+    bn: bool = True
+    kernel_init: nn.initializers.Initializer = torch_conv_init
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False, bn_momentum=0.1) -> jnp.ndarray:
+        for f in self.features:
+            x = ConvBN(f, bn=self.bn, kernel_init=self.kernel_init)(x, train, bn_momentum)
+        return x
+
+
+class HeadMLP(nn.Module):
+    """cls/reg head: ConvBN stack with dropout after the first layer, then a
+    linear output layer (reference rpn.py:19-46, rcnn_net.py:44-81)."""
+
+    hidden: Sequence[int]
+    out_features: int
+    bn: bool = True
+    dp_ratio: float = 0.0
+    kernel_init: nn.initializers.Initializer = torch_conv_init
+    out_kernel_init: nn.initializers.Initializer = final_layer_init()
+    out_bias_init: nn.initializers.Initializer = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False, bn_momentum=0.1) -> jnp.ndarray:
+        for i, f in enumerate(self.hidden):
+            x = ConvBN(f, bn=self.bn, kernel_init=self.kernel_init)(x, train, bn_momentum)
+            if i == 0 and self.dp_ratio > 0:
+                x = nn.Dropout(self.dp_ratio, deterministic=not train)(x)
+        x = nn.Dense(
+            self.out_features,
+            kernel_init=self.out_kernel_init,
+            bias_init=self.out_bias_init,
+        )(x)
+        return x
