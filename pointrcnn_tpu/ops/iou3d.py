@@ -162,6 +162,18 @@ def aligned_iou_bev(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray) -> jnp.ndarray:
     return inter / jnp.maximum(sa + sb - inter, EPS)
 
 
+def boxes_iou3d_paired(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise 3D IoU of matched pairs: (P, 7) x (P, 7) -> (P,)."""
+    ov_bev = jax.vmap(_pair_overlap)(boxes3d_to_bev(boxes_a), boxes3d_to_bev(boxes_b))
+    a_min, a_max = boxes_a[:, 1] - boxes_a[:, 3], boxes_a[:, 1]
+    b_min, b_max = boxes_b[:, 1] - boxes_b[:, 3], boxes_b[:, 1]
+    ov_h = jnp.clip(jnp.minimum(a_max, b_max) - jnp.maximum(a_min, b_min), 0.0, None)
+    ov3d = ov_bev * ov_h
+    vol_a = boxes_a[:, 3] * boxes_a[:, 4] * boxes_a[:, 5]
+    vol_b = boxes_b[:, 3] * boxes_b[:, 4] * boxes_b[:, 5]
+    return ov3d / jnp.clip(vol_a + vol_b - ov3d, 1e-7, None)
+
+
 def boxes_iou3d(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray) -> jnp.ndarray:
     """3D IoU of (N, 7) x (M, 7) boxes (reference iou3d_utils.boxes_iou3d_gpu:21-53)."""
     ov_bev = boxes_overlap_bev(boxes3d_to_bev(boxes_a), boxes3d_to_bev(boxes_b))
