@@ -3,13 +3,13 @@
 All correctness and sharding tests run on CPU so they are independent of TPU
 availability; the same code paths are exercised on real TPU by bench.py and
 __graft_entry__.py.
+
+Note: the container's sitecustomize imports jax at interpreter startup and
+registers the 'axon' TPU platform, so env vars are too late here — we must go
+through jax.config.
 """
 
-import os
+import jax
 
-# hard-set: the environment presets JAX_PLATFORMS=axon (TPU tunnel)
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ.setdefault("JAX_ENABLE_X64", "0")
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
