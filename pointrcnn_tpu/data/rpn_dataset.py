@@ -1,0 +1,559 @@
+"""KITTI training/eval dataset with augmentation and label generation.
+
+Host-side re-design of the reference KittiRCNNDataset
+(lib/datasets/kitti_rcnn_dataset.py:12-1137) with two structural changes for
+TPU fixed shapes:
+
+- gt boxes are padded to ``cfg.RCNN.MAX_GT_BOXES`` with a ``gt_valid`` mask
+  (the reference pads to the per-batch max, kitti_rcnn_dataset.py:1104-1122);
+- randomness flows through an explicit per-sample ``np.random.RandomState``
+  so epochs are reproducible and loader workers can't correlate.
+
+The Delaunay ``in_hull`` foreground test (kitti_utils.py:163-177) is replaced
+by the exact oriented-box test (identical results for boxes).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import numpy as np
+
+from pointrcnn_tpu.data.kitti_dataset import KittiDataset
+from pointrcnn_tpu.data.object3d import get_objects_from_label, objs_to_boxes3d
+from pointrcnn_tpu.utils.np_geometry import (
+    boxes_iou3d,
+    enlarge_box3d,
+    points_in_boxes3d,
+    rotate_pc_along_y,
+)
+
+
+class KittiRCNNDataset(KittiDataset):
+    def __init__(
+        self,
+        root_dir: str,
+        cfg,
+        npoints: int = 16384,
+        split: str = "train",
+        classes: str = "Car",
+        mode: str = "TRAIN",
+        random_select: bool = True,
+        gt_database_path: str | None = None,
+        aug_scene_root_dir: str | None = None,
+        rcnn_eval_roi_dir: str | None = None,
+        rcnn_eval_feature_dir: str | None = None,
+        rcnn_training_roi_dir: str | None = None,
+        rcnn_training_feature_dir: str | None = None,
+        logger=None,
+    ):
+        super().__init__(root_dir=root_dir, split=split)
+        self.cfg = cfg
+        assert mode in ("TRAIN", "EVAL", "TEST"), mode
+        self.mode = mode
+        self.npoints = npoints
+        self.random_select = random_select
+        self.logger = logger
+
+        if classes == "Car":
+            self.classes = ("Background", "Car")
+            aug_scene_dir = "aug_scene"
+        elif classes == "People":
+            self.classes = ("Background", "Pedestrian", "Cyclist")
+            aug_scene_dir = "aug_scene_ped_cyc"
+        elif classes == "Pedestrian":
+            self.classes = ("Background", "Pedestrian")
+            aug_scene_dir = "aug_scene_ped"
+        elif classes == "Cyclist":
+            self.classes = ("Background", "Cyclist")
+            aug_scene_dir = "aug_scene_cyc"
+        else:
+            raise ValueError(f"Invalid classes: {classes}")
+
+        aug_root = aug_scene_root_dir or os.path.join(root_dir, "KITTI", aug_scene_dir)
+        self.aug_label_dir = os.path.join(aug_root, "training", "aug_label")
+        self.aug_pts_dir = os.path.join(aug_root, "training", "rectified_data")
+
+        self.rcnn_eval_roi_dir = rcnn_eval_roi_dir
+        self.rcnn_eval_feature_dir = rcnn_eval_feature_dir
+        self.rcnn_training_roi_dir = rcnn_training_roi_dir
+        self.rcnn_training_feature_dir = rcnn_training_feature_dir
+
+        # gt database for paste augmentation, split easy/hard by point count
+        # (reference kitti_rcnn_dataset.py:64-80)
+        self.gt_database = None
+        if gt_database_path and cfg.GT_AUG_ENABLED and mode == "TRAIN":
+            with open(gt_database_path, "rb") as f:
+                db = pickle.load(f)
+            if cfg.GT_AUG_HARD_RATIO > 0:
+                easy = [o for o in db if o["points"].shape[0] > 100]
+                hard = [o for o in db if o["points"].shape[0] <= 100]
+                self.gt_database = [easy, hard]
+            else:
+                self.gt_database = db
+
+        self.sample_id_list: list[int] = []
+        if cfg.RPN.ENABLED:
+            if mode == "TRAIN":
+                self._preprocess_rpn_training_data()
+            else:
+                self.sample_id_list = [int(s) for s in self.image_idx_list]
+        elif cfg.RCNN.ENABLED:
+            if mode == "TRAIN":
+                for s in self.image_idx_list:
+                    if self.filtrate_objects(self.get_label(int(s))):
+                        self.sample_id_list.append(int(s))
+            else:
+                self.sample_id_list = [int(s) for s in self.image_idx_list]
+
+    # -------------------------------------------------------- bookkeeping
+
+    def _preprocess_rpn_training_data(self):
+        """Keep only samples with >=1 object of the target classes
+        (reference kitti_rcnn_dataset.py:100-115)."""
+        for s in self.image_idx_list:
+            if self.filtrate_objects(self.get_label(int(s))):
+                self.sample_id_list.append(int(s))
+
+    def get_label(self, idx: int):
+        if idx < 10000:
+            return super().get_label(idx)
+        label_file = os.path.join(self.aug_label_dir, "%06d.txt" % idx)
+        assert os.path.exists(label_file), label_file
+        return get_objects_from_label(label_file)
+
+    def get_image_shape(self, idx):
+        return super().get_image_shape(idx % 10000)
+
+    def get_calib(self, idx):
+        return super().get_calib(idx % 10000)
+
+    def get_road_plane(self, idx):
+        return super().get_road_plane(idx % 10000)
+
+    def filtrate_objects(self, obj_list):
+        """Class + range filtering (reference kitti_rcnn_dataset.py:152-173)."""
+        cfg = self.cfg
+        type_whitelist = list(self.classes)
+        if self.mode == "TRAIN" and cfg.INCLUDE_SIMILAR_TYPE:
+            if "Car" in self.classes:
+                type_whitelist.append("Van")
+            if "Pedestrian" in self.classes:
+                type_whitelist.append("Person_sitting")
+        out = []
+        for obj in obj_list:
+            if obj.cls_type not in type_whitelist:
+                continue
+            if (
+                self.mode == "TRAIN"
+                and cfg.PC_REDUCE_BY_RANGE
+                and not self._check_pc_range(obj.pos)
+            ):
+                continue
+            out.append(obj)
+        return out
+
+    @staticmethod
+    def filtrate_dc_objects(obj_list):
+        return [obj for obj in obj_list if obj.cls_type != "DontCare"]
+
+    def _check_pc_range(self, xyz) -> bool:
+        x, y, z = self.cfg.PC_AREA_SCOPE
+        return (
+            x[0] <= xyz[0] <= x[1] and y[0] <= xyz[1] <= y[1] and z[0] <= xyz[2] <= z[1]
+        )
+
+    def get_valid_flag(self, pts_rect, pts_img, pts_rect_depth, img_shape):
+        """In-image + in-range filter (reference kitti_rcnn_dataset.py:197-219)."""
+        flag = (
+            (pts_img[:, 0] >= 0)
+            & (pts_img[:, 0] < img_shape[1])
+            & (pts_img[:, 1] >= 0)
+            & (pts_img[:, 1] < img_shape[0])
+            & (pts_rect_depth >= 0)
+        )
+        if self.cfg.PC_REDUCE_BY_RANGE:
+            x, y, z = self.cfg.PC_AREA_SCOPE
+            p = pts_rect
+            flag &= (
+                (p[:, 0] >= x[0]) & (p[:, 0] <= x[1])
+                & (p[:, 1] >= y[0]) & (p[:, 1] <= y[1])
+                & (p[:, 2] >= z[0]) & (p[:, 2] <= z[1])
+            )
+        return flag
+
+    def __len__(self):
+        return len(self.sample_id_list)
+
+    def __getitem__(self, index):
+        return self.getitem(index, np.random)
+
+    def getitem(self, index, rng):
+        cfg = self.cfg
+        if cfg.RPN.ENABLED:
+            return self.get_rpn_sample(index, rng)
+        if cfg.RCNN.ENABLED:
+            if self.mode == "TRAIN":
+                assert cfg.RCNN.ROI_SAMPLE_JIT, (
+                    "offline RCNN sampling uses get_proposal_from_file features; "
+                    "see tools/eval.py --save_rpn_feature"
+                )
+                return self.get_rcnn_sample_jit(index)
+            return self.get_proposal_from_file(index)
+        raise NotImplementedError
+
+    # -------------------------------------------------------- RPN samples
+
+    def get_rpn_sample(self, index: int, rng) -> dict:
+        """(reference get_rpn_sample, kitti_rcnn_dataset.py:246-362)."""
+        cfg = self.cfg
+        sample_id = int(self.sample_id_list[index])
+        if sample_id < 10000:
+            calib = self.get_calib(sample_id)
+            img_shape = self.get_image_shape(sample_id)
+            pts_lidar = self.get_lidar(sample_id)
+            pts_rect = calib.lidar_to_rect(pts_lidar[:, 0:3])
+            pts_intensity = pts_lidar[:, 3]
+        else:
+            calib = self.get_calib(sample_id % 10000)
+            img_shape = self.get_image_shape(sample_id % 10000)
+            pts_file = os.path.join(self.aug_pts_dir, "%06d.bin" % sample_id)
+            aug_pts = np.fromfile(pts_file, dtype=np.float32).reshape(-1, 4)
+            pts_rect, pts_intensity = aug_pts[:, 0:3], aug_pts[:, 3]
+
+        pts_img, pts_rect_depth = calib.rect_to_img(pts_rect)
+        valid = self.get_valid_flag(pts_rect, pts_img, pts_rect_depth, img_shape)
+        pts_rect = pts_rect[valid][:, 0:3]
+        pts_intensity = pts_intensity[valid]
+
+        gt_aug_flag = False
+        extra_gt_obj_list = None
+        if cfg.GT_AUG_ENABLED and self.mode == "TRAIN" and self.gt_database is not None:
+            all_gt = objs_to_boxes3d(self.filtrate_dc_objects(self.get_label(sample_id)))
+            if rng.rand() < cfg.GT_AUG_APPLY_PROB:
+                (
+                    gt_aug_flag,
+                    pts_rect,
+                    pts_intensity,
+                    _,
+                    extra_gt_obj_list,
+                ) = self.apply_gt_aug_to_one_scene(
+                    sample_id, pts_rect, pts_intensity, all_gt, rng
+                )
+
+        # fixed-size sampling: depth-stratified (near < 40 m)
+        # (reference kitti_rcnn_dataset.py:285-301)
+        if self.mode == "TRAIN" or self.random_select:
+            if self.npoints < len(pts_rect):
+                depth = pts_rect[:, 2]
+                near_idxs = np.nonzero(depth < 40.0)[0]
+                far_idxs = np.nonzero(depth >= 40.0)[0]
+                take_near = self.npoints - len(far_idxs)
+                if take_near > 0:
+                    near_choice = rng.choice(near_idxs, take_near, replace=False)
+                    choice = (
+                        np.concatenate([near_choice, far_idxs])
+                        if len(far_idxs) > 0 else near_choice
+                    )
+                else:
+                    choice = rng.choice(np.arange(len(pts_rect)), self.npoints, replace=False)
+            else:
+                choice = np.arange(len(pts_rect), dtype=np.int64)
+                if self.npoints > len(pts_rect):
+                    extra = rng.choice(choice, self.npoints - len(pts_rect), replace=True)
+                    choice = np.concatenate([choice, extra])
+            rng.shuffle(choice)
+            ret_pts_rect = pts_rect[choice]
+            ret_pts_intensity = pts_intensity[choice] - 0.5
+        else:
+            ret_pts_rect = pts_rect
+            ret_pts_intensity = pts_intensity - 0.5
+
+        ret_pts_features = ret_pts_intensity.reshape(-1, 1).astype(np.float32)
+        info = {"sample_id": sample_id, "random_select": self.random_select}
+
+        if self.mode == "TEST":
+            pts_input = (
+                np.concatenate([ret_pts_rect, ret_pts_features], axis=1)
+                if cfg.RPN.USE_INTENSITY else ret_pts_rect
+            )
+            info.update(
+                pts_input=pts_input.astype(np.float32),
+                pts_rect=ret_pts_rect.astype(np.float32),
+                pts_features=ret_pts_features,
+            )
+            return info
+
+        gt_obj_list = self.filtrate_objects(self.get_label(sample_id))
+        if gt_aug_flag and extra_gt_obj_list:
+            gt_obj_list.extend(extra_gt_obj_list)
+        gt_boxes3d = objs_to_boxes3d(gt_obj_list)
+        gt_alpha = np.array([obj.alpha for obj in gt_obj_list], dtype=np.float32)
+
+        aug_pts_rect = ret_pts_rect.copy().astype(np.float32)
+        aug_gt_boxes3d = gt_boxes3d.copy()
+        if cfg.AUG_DATA and self.mode == "TRAIN":
+            aug_pts_rect, aug_gt_boxes3d, aug_method = self.data_augmentation(
+                aug_pts_rect, aug_gt_boxes3d, gt_alpha, rng
+            )
+            info["aug_method"] = aug_method
+
+        pts_input = (
+            np.concatenate([aug_pts_rect, ret_pts_features], axis=1)
+            if cfg.RPN.USE_INTENSITY else aug_pts_rect
+        )
+        info.update(
+            pts_input=pts_input.astype(np.float32),
+            pts_rect=aug_pts_rect.astype(np.float32),
+            pts_features=ret_pts_features,
+            gt_boxes3d=aug_gt_boxes3d.astype(np.float32),
+        )
+        if not cfg.RPN.FIXED:
+            cls_label, reg_label = self.generate_rpn_training_labels(
+                aug_pts_rect, aug_gt_boxes3d
+            )
+            info["rpn_cls_label"] = cls_label
+            info["rpn_reg_label"] = reg_label
+        return info
+
+    @staticmethod
+    def generate_rpn_training_labels(pts_rect: np.ndarray, gt_boxes3d: np.ndarray):
+        """Per-point fg label + box targets (reference
+        kitti_rcnn_dataset.py:364-394); oriented-box test instead of Delaunay."""
+        cls_label = np.zeros(pts_rect.shape[0], dtype=np.int32)
+        reg_label = np.zeros((pts_rect.shape[0], 7), dtype=np.float32)
+        if gt_boxes3d.shape[0] == 0:
+            return cls_label, reg_label
+        fg_all = points_in_boxes3d(pts_rect, gt_boxes3d)  # (M, N)
+        enlarged = enlarge_box3d(gt_boxes3d, extra_width=0.2)
+        fg_enlarged = points_in_boxes3d(pts_rect, enlarged)
+        for k in range(gt_boxes3d.shape[0]):
+            fg = fg_all[k]
+            cls_label[fg] = 1
+            cls_label[np.logical_xor(fg, fg_enlarged[k])] = -1
+
+            center3d = gt_boxes3d[k, 0:3].copy()
+            center3d[1] -= gt_boxes3d[k, 3] / 2  # true 3D center
+            reg_label[fg, 0:3] = center3d - pts_rect[fg]
+            reg_label[fg, 3:6] = gt_boxes3d[k, 3:6]
+            reg_label[fg, 6] = gt_boxes3d[k, 6]
+        return cls_label, reg_label
+
+    # -------------------------------------------------------- augmentation
+
+    def apply_gt_aug_to_one_scene(self, sample_id, pts_rect, pts_intensity,
+                                  all_gt_boxes3d, rng):
+        """GT-database paste augmentation (reference
+        kitti_rcnn_dataset.py:408-511)."""
+        cfg = self.cfg
+        assert self.gt_database is not None
+        extra_gt_num = (
+            rng.randint(10, cfg.GT_EXTRA_NUM) if cfg.GT_AUG_RAND_NUM else cfg.GT_EXTRA_NUM
+        )
+        try_times = 100
+        cnt = 0
+        cur_gt_boxes3d = all_gt_boxes3d.copy()
+        if cur_gt_boxes3d.shape[0] > 0:
+            cur_gt_boxes3d[:, 4] += 0.5
+            cur_gt_boxes3d[:, 5] += 0.5
+
+        extra_gt_obj_list, extra_gt_boxes3d_list = [], []
+        new_pts_list, new_pts_intensity_list = [], []
+        src_pts_flag = np.ones(pts_rect.shape[0], dtype=bool)
+
+        a, b, c, d = self.get_road_plane(sample_id)
+
+        while try_times > 0:
+            if cnt > extra_gt_num:
+                break
+            try_times -= 1
+            if cfg.GT_AUG_HARD_RATIO > 0:
+                use_hard = rng.rand() <= cfg.GT_AUG_HARD_RATIO
+                pool = self.gt_database[1] if use_hard else self.gt_database[0]
+                if not pool:  # fall back when the easy/hard split is empty
+                    pool = self.gt_database[0] or self.gt_database[1]
+                new_gt_dict = pool[rng.randint(0, len(pool))]
+            else:
+                new_gt_dict = self.gt_database[rng.randint(0, len(self.gt_database))]
+
+            new_box = new_gt_dict["gt_box3d"].copy()
+            new_pts = new_gt_dict["points"].copy()
+            new_intensity = new_gt_dict["intensity"].copy()
+            new_obj = new_gt_dict["obj"]
+            if cfg.PC_REDUCE_BY_RANGE and not self._check_pc_range(new_box[0:3]):
+                continue
+            if len(new_pts) < 5:
+                continue
+
+            # drop onto the road plane
+            cur_height = (-d - a * new_box[0] - c * new_box[2]) / b
+            move = new_box[1] - cur_height
+            new_box[1] -= move
+            new_pts[:, 1] -= move
+
+            enlarged = new_box.copy()
+            enlarged[4] += 0.5
+            enlarged[5] += 0.5
+            cnt += 1
+            if cur_gt_boxes3d.shape[0] > 0:
+                iou = boxes_iou3d(enlarged.reshape(1, 7), cur_gt_boxes3d)
+                if iou.max() >= 1e-8:  # collision with existing boxes
+                    continue
+
+            # carve out original points occupying the pasted volume
+            tall = new_box.copy()
+            tall[3] += 2.0
+            inside = points_in_boxes3d(pts_rect, tall.reshape(1, 7))[0]
+            src_pts_flag[inside] = False
+
+            import copy as _copy
+
+            new_obj = _copy.deepcopy(new_obj)
+            new_obj.pos = new_obj.pos.copy()
+            new_obj.pos[1] -= move
+
+            new_pts_list.append(new_pts)
+            new_pts_intensity_list.append(new_intensity)
+            cur_gt_boxes3d = np.concatenate(
+                [cur_gt_boxes3d, enlarged.reshape(1, 7)], axis=0
+            )
+            extra_gt_boxes3d_list.append(new_box.reshape(1, 7))
+            extra_gt_obj_list.append(new_obj)
+
+        if not new_pts_list:
+            return False, pts_rect, pts_intensity, None, None
+
+        extra_gt_boxes3d = np.concatenate(extra_gt_boxes3d_list, axis=0)
+        pts_rect = np.concatenate([pts_rect[src_pts_flag]] + new_pts_list, axis=0)
+        pts_intensity = np.concatenate(
+            [pts_intensity[src_pts_flag]] + new_pts_intensity_list, axis=0
+        )
+        return True, pts_rect, pts_intensity, extra_gt_boxes3d, extra_gt_obj_list
+
+    def data_augmentation(self, pts_rect, gt_boxes3d, gt_alpha, rng, mustaug=False):
+        """Scene-level rotation/scaling/flip (reference
+        kitti_rcnn_dataset.py:513-570, stage-1 path)."""
+        cfg = self.cfg
+        aug_list = cfg.AUG_METHOD_LIST
+        aug_enable = 1 - rng.rand(3)
+        if mustaug:
+            aug_enable[0] = -1
+            aug_enable[1] = -1
+        aug_method = []
+
+        if "rotation" in aug_list and aug_enable[0] < cfg.AUG_METHOD_PROB[0]:
+            angle = rng.uniform(-np.pi / cfg.AUG_ROT_RANGE, np.pi / cfg.AUG_ROT_RANGE)
+            pts_rect = rotate_pc_along_y(pts_rect, angle)
+            gt_boxes3d = rotate_pc_along_y(gt_boxes3d, angle)
+            # alpha-preserving ry recompute
+            x, z = gt_boxes3d[:, 0], gt_boxes3d[:, 2]
+            beta = np.arctan2(z, x)
+            gt_boxes3d[:, 6] = np.sign(beta) * np.pi / 2 + gt_alpha - beta
+            aug_method.append(["rotation", float(angle)])
+
+        if "scaling" in aug_list and aug_enable[1] < cfg.AUG_METHOD_PROB[1]:
+            scale = rng.uniform(0.95, 1.05)
+            pts_rect = pts_rect * scale
+            gt_boxes3d[:, 0:6] = gt_boxes3d[:, 0:6] * scale
+            aug_method.append(["scaling", float(scale)])
+
+        if "flip" in aug_list and aug_enable[2] < cfg.AUG_METHOD_PROB[2]:
+            pts_rect[:, 0] = -pts_rect[:, 0]
+            gt_boxes3d[:, 0] = -gt_boxes3d[:, 0]
+            gt_boxes3d[:, 6] = np.sign(gt_boxes3d[:, 6]) * np.pi - gt_boxes3d[:, 6]
+            aug_method.append("flip")
+
+        return pts_rect, gt_boxes3d, aug_method
+
+    # -------------------------------------------------------- RCNN samples
+
+    def get_rpn_features(self, rpn_feature_dir: str, idx: int):
+        """(reference kitti_rcnn_dataset.py:138-150)."""
+        cfg = self.cfg
+        xyz = np.load(os.path.join(rpn_feature_dir, "%06d_xyz.npy" % idx))
+        feats = np.load(os.path.join(rpn_feature_dir, "%06d.npy" % idx))
+        intensity = np.load(
+            os.path.join(rpn_feature_dir, "%06d_intensity.npy" % idx)
+        ).reshape(-1)
+        if cfg.RCNN.USE_SEG_SCORE:
+            raw = np.load(os.path.join(rpn_feature_dir, "%06d_rawscore.npy" % idx)).reshape(-1)
+            seg = 1.0 / (1.0 + np.exp(-raw))
+        else:
+            seg = np.load(os.path.join(rpn_feature_dir, "%06d_seg.npy" % idx)).reshape(-1)
+        return xyz, feats, intensity, seg
+
+    def get_rcnn_sample_jit(self, index: int) -> dict:
+        """(reference kitti_rcnn_dataset.py:1079-1102)."""
+        sample_id = int(self.sample_id_list[index])
+        xyz, feats, intensity, seg = self.get_rpn_features(
+            self.rcnn_training_feature_dir, sample_id
+        )
+        roi_file = os.path.join(self.rcnn_training_roi_dir, "%06d.txt" % sample_id)
+        roi_boxes3d = objs_to_boxes3d(get_objects_from_label(roi_file))
+        gt_boxes3d = objs_to_boxes3d(self.filtrate_objects(self.get_label(sample_id)))
+        return {
+            "sample_id": sample_id,
+            "rpn_xyz": xyz.astype(np.float32),
+            "rpn_features": feats.astype(np.float32),
+            "rpn_intensity": intensity.astype(np.float32),
+            "seg_mask": seg.astype(np.float32),
+            "roi_boxes3d": roi_boxes3d,
+            "gt_boxes3d": gt_boxes3d,
+            "pts_depth": np.linalg.norm(xyz, ord=2, axis=1).astype(np.float32),
+        }
+
+    def get_proposal_from_file(self, index: int) -> dict:
+        """Eval from saved RPN proposals + features (reference
+        kitti_rcnn_dataset.py:790-874, tensors-only subset)."""
+        sample_id = int(self.image_idx_list[index])
+        xyz, feats, intensity, seg = self.get_rpn_features(
+            self.rcnn_eval_feature_dir, sample_id
+        )
+        roi_file = os.path.join(self.rcnn_eval_roi_dir, "%06d.txt" % sample_id)
+        roi_objs = get_objects_from_label(roi_file)
+        roi_boxes3d = objs_to_boxes3d(roi_objs)
+        roi_scores = np.array([obj.score for obj in roi_objs], dtype=np.float32)
+        info = {
+            "sample_id": sample_id,
+            "rpn_xyz": xyz.astype(np.float32),
+            "rpn_features": feats.astype(np.float32),
+            "rpn_intensity": intensity.astype(np.float32),
+            "seg_mask": seg.astype(np.float32),
+            "roi_boxes3d": roi_boxes3d,
+            "roi_scores": roi_scores,
+            "pts_depth": np.linalg.norm(xyz, ord=2, axis=1).astype(np.float32),
+        }
+        if self.mode == "EVAL":
+            gt_obj_list = self.filtrate_objects(self.get_label(sample_id))
+            info["gt_boxes3d"] = objs_to_boxes3d(gt_obj_list)
+        return info
+
+    # -------------------------------------------------------- batching
+
+    def collate_batch(self, batch: list[dict]) -> dict:
+        """Stack a list of samples; variable-count box arrays are padded to
+        ``cfg.RCNN.MAX_GT_BOXES`` with a ``*_valid`` mask (fixed shapes for
+        jit; reference pads to batch max, kitti_rcnn_dataset.py:1104-1137)."""
+        max_gt = self.cfg.RCNN.MAX_GT_BOXES
+        out = {}
+        for key in batch[0].keys():
+            vals = [b[key] for b in batch]
+            if key in ("gt_boxes3d", "roi_boxes3d"):
+                padded = np.zeros((len(batch), max_gt, 7), np.float32)
+                valid = np.zeros((len(batch), max_gt), bool)
+                for i, v in enumerate(vals):
+                    n = min(len(v), max_gt)
+                    padded[i, :n] = v[:n]
+                    valid[i, :n] = True
+                out[key] = padded
+                out[key.replace("boxes3d", "valid")] = valid
+            elif isinstance(vals[0], np.ndarray):
+                out[key] = np.stack(vals, axis=0)
+            elif isinstance(vals[0], (int, np.integer)):
+                out[key] = np.array(vals, dtype=np.int32)
+            elif isinstance(vals[0], (float, np.floating)):
+                out[key] = np.array(vals, dtype=np.float32)
+            else:
+                out[key] = vals
+        return out
