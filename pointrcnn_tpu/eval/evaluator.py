@@ -1,0 +1,313 @@
+"""Detection evaluation pipelines (reference tools/eval_rcnn.py:113-683).
+
+Each mode builds ONE jitted, fixed-shape eval step (model forward + box
+decode + score threshold + final rotated NMS + recall IoUs all on device);
+the host loop only does file IO, recall accounting and KITTI-format output.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pointrcnn_tpu.ops.iou3d import boxes_iou3d
+from pointrcnn_tpu.ops.nms import nms_bev
+from pointrcnn_tpu.utils.box_coder import decode_bbox_target
+from pointrcnn_tpu.utils.box_ops import boxes3d_to_bev
+from pointrcnn_tpu.utils.np_geometry import boxes3d_to_corners3d
+
+THRESH_LIST = (0.1, 0.3, 0.5, 0.7, 0.9)
+
+
+def save_kitti_format(sample_id, calib, bbox3d, kitti_output_dir, scores,
+                      img_shape, class_name="Car"):
+    """Write detections as KITTI result lines (reference eval_rcnn.py:69-94):
+    3D->2D corner projection, clipped; boxes covering >80% of the image are
+    vetoed; alpha from beta + ry."""
+    corners3d = boxes3d_to_corners3d(bbox3d)
+    img_boxes, _ = calib.corners3d_to_img_boxes(corners3d)
+    img_boxes[:, 0] = np.clip(img_boxes[:, 0], 0, img_shape[1] - 1)
+    img_boxes[:, 1] = np.clip(img_boxes[:, 1], 0, img_shape[0] - 1)
+    img_boxes[:, 2] = np.clip(img_boxes[:, 2], 0, img_shape[1] - 1)
+    img_boxes[:, 3] = np.clip(img_boxes[:, 3], 0, img_shape[0] - 1)
+    w = img_boxes[:, 2] - img_boxes[:, 0]
+    h = img_boxes[:, 3] - img_boxes[:, 1]
+    valid = (w < img_shape[1] * 0.8) & (h < img_shape[0] * 0.8)
+
+    path = os.path.join(kitti_output_dir, "%06d.txt" % sample_id)
+    with open(path, "w") as f:
+        for k in range(bbox3d.shape[0]):
+            if not valid[k]:
+                continue
+            x, z, ry = bbox3d[k, 0], bbox3d[k, 2], bbox3d[k, 6]
+            beta = np.arctan2(z, x)
+            alpha = -np.sign(beta) * np.pi / 2 + beta + ry
+            print(
+                "%s -1 -1 %.4f %.4f %.4f %.4f %.4f %.4f %.4f %.4f %.4f %.4f %.4f %.4f %.4f"
+                % (
+                    class_name, alpha,
+                    img_boxes[k, 0], img_boxes[k, 1], img_boxes[k, 2], img_boxes[k, 3],
+                    bbox3d[k, 3], bbox3d[k, 4], bbox3d[k, 5],
+                    bbox3d[k, 0], bbox3d[k, 1], bbox3d[k, 2], bbox3d[k, 6], scores[k],
+                ),
+                file=f,
+            )
+
+
+def save_rpn_features(result_dir, sample_id, seg_result, rpn_scores_raw,
+                      pts_intensity, backbone_xyz, backbone_features):
+    """On-disk stage interface (reference eval_rcnn.py:97-110)."""
+    np.save(os.path.join(result_dir, "%06d.npy" % sample_id), backbone_features)
+    np.save(os.path.join(result_dir, "%06d_xyz.npy" % sample_id), backbone_xyz)
+    np.save(os.path.join(result_dir, "%06d_seg.npy" % sample_id), seg_result)
+    np.save(os.path.join(result_dir, "%06d_intensity.npy" % sample_id), pts_intensity)
+    np.save(os.path.join(result_dir, "%06d_rawscore.npy" % sample_id), rpn_scores_raw)
+
+
+def build_joint_eval_step(model, cfg, with_gt: bool):
+    """Jitted full two-stage eval step (reference eval_one_epoch_joint
+    body, eval_rcnn.py:459-630)."""
+
+    def step(variables, pts_input, gt_boxes3d=None, gt_valid=None):
+        out = model.apply(variables, {"pts_input": pts_input}, train=False)
+        B = pts_input.shape[0]
+        rois = out["rois"]
+        M = rois.shape[1]
+        rcnn_reg = out["rcnn_reg"].reshape(B, M, -1)
+        rcnn_cls = out["rcnn_cls"].reshape(B, M)
+
+        pred_boxes3d = decode_bbox_target(
+            rois.reshape(-1, 7), rcnn_reg.reshape(B * M, -1),
+            anchor_size=jnp.asarray(cfg.CLS_MEAN_SIZE[0]),
+            loc_scope=cfg.RCNN.LOC_SCOPE,
+            loc_bin_size=cfg.RCNN.LOC_BIN_SIZE,
+            num_head_bin=cfg.RCNN.NUM_HEAD_BIN,
+            get_xz_fine=True, get_y_by_bin=cfg.RCNN.LOC_Y_BY_BIN,
+            loc_y_scope=cfg.RCNN.LOC_Y_SCOPE, loc_y_bin_size=cfg.RCNN.LOC_Y_BIN_SIZE,
+            get_ry_fine=True,
+        ).reshape(B, M, 7)
+
+        raw_scores = rcnn_cls
+        norm_scores = jax.nn.sigmoid(raw_scores)
+        keep_score = (norm_scores > cfg.RCNN.SCORE_THRESH) & out["roi_valid"]
+
+        def final_nms(boxes, scores, valid):
+            bev = boxes3d_to_bev(boxes)
+            idx, ok = nms_bev(
+                bev, scores, thresh=cfg.RCNN.NMS_THRESH, pre_max=M, post_max=M,
+                rotated=True, valid=valid,
+            )
+            return idx, ok
+
+        sel_idx, sel_valid = jax.vmap(final_nms)(pred_boxes3d, raw_scores, keep_score)
+
+        result = {
+            "rois": rois,
+            "roi_scores_raw": out["roi_scores_raw"],
+            "roi_valid": out["roi_valid"],
+            "seg_result": out["seg_result"],
+            "pred_boxes3d": pred_boxes3d,
+            "raw_scores": raw_scores,
+            "norm_scores": norm_scores,
+            "sel_idx": sel_idx,
+            "sel_valid": sel_valid,
+            "rpn_cls": out["rpn_cls"],
+            "backbone_xyz": out["backbone_xyz"],
+            "backbone_features": out["backbone_features"],
+        }
+        if with_gt and gt_boxes3d is not None:
+            def gt_iou(pred, roi, gt):
+                iou_p = boxes_iou3d(pred, gt)  # (M, G)
+                iou_r = boxes_iou3d(roi, gt)
+                return jnp.max(iou_p, axis=0), jnp.max(iou_r, axis=0)
+
+            gt_max_iou, roi_gt_max_iou = jax.vmap(gt_iou)(pred_boxes3d, rois, gt_boxes3d)
+            result["gt_max_iou"] = gt_max_iou
+            result["roi_gt_max_iou"] = roi_gt_max_iou
+        return result
+
+    return jax.jit(step)
+
+
+def eval_one_epoch_joint(model, variables, cfg, loader, result_dir,
+                         logger=None, test_mode=False, save_result=False):
+    logger = logger or logging.getLogger(__name__)
+    dataset = loader.dataset
+    final_output_dir = os.path.join(result_dir, "final_result", "data")
+    os.makedirs(final_output_dir, exist_ok=True)
+
+    with_gt = not test_mode
+    step = build_joint_eval_step(model, cfg, with_gt)
+
+    total_recalled = np.zeros(len(THRESH_LIST), np.int64)
+    total_roi_recalled = np.zeros(len(THRESH_LIST), np.int64)
+    total_gt = 0
+    final_total = 0
+
+    for batch in loader:
+        pts_input = jnp.asarray(batch["pts_input"])
+        if with_gt and "gt_boxes3d" in batch:
+            out = step(variables, pts_input,
+                       jnp.asarray(batch["gt_boxes3d"]), jnp.asarray(batch["gt_valid"]))
+        else:
+            out = step(variables, pts_input)
+        out = jax.device_get(out)
+
+        B = pts_input.shape[0]
+        if with_gt and "gt_max_iou" in out:
+            gt_valid = batch["gt_valid"]
+            for k in range(B):
+                v = gt_valid[k]
+                if v.sum() == 0:
+                    continue
+                gmi = out["gt_max_iou"][k][v]
+                rmi = out["roi_gt_max_iou"][k][v]
+                for i, th in enumerate(THRESH_LIST):
+                    total_recalled[i] += int((gmi > th).sum())
+                    total_roi_recalled[i] += int((rmi > th).sum())
+                total_gt += int(v.sum())
+
+        for k in range(B):
+            sel = out["sel_idx"][k][out["sel_valid"][k]]
+            if sel.size == 0:
+                continue
+            boxes = out["pred_boxes3d"][k][sel]
+            scores = out["raw_scores"][k][sel]
+            sample_id = int(batch["sample_id"][k])
+            calib = dataset.get_calib(sample_id)
+            img_shape = dataset.get_image_shape(sample_id)
+            final_total += boxes.shape[0]
+            save_kitti_format(
+                sample_id, calib, boxes, final_output_dir, scores, img_shape,
+                class_name=cfg.CLASSES,
+            )
+
+    # empty files for samples with no detections (reference eval_rcnn.py:631-642)
+    split_file_ids = [int(s) for s in dataset.image_idx_list]
+    for sid in split_file_ids:
+        path = os.path.join(final_output_dir, "%06d.txt" % sid)
+        if not os.path.exists(path):
+            open(path, "w").close()
+
+    ret = {"final_total": final_total, "total_gt_bbox": max(total_gt, 1)}
+    for i, th in enumerate(THRESH_LIST):
+        ret[f"recall_{th}"] = total_recalled[i] / max(total_gt, 1)
+        ret[f"roi_recall_{th}"] = total_roi_recalled[i] / max(total_gt, 1)
+        logger.info(
+            "recall@%.1f: %.4f (roi %.4f)", th, ret[f"recall_{th}"], ret[f"roi_recall_{th}"]
+        )
+    return ret, final_output_dir
+
+
+def build_rpn_eval_step(model, cfg, with_gt: bool):
+    """Jitted RPN-only eval step (reference eval_one_epoch_rpn,
+    eval_rcnn.py:113-253)."""
+
+    def step(variables, pts_input, gt_boxes3d=None):
+        out = model.apply(variables, {"pts_input": pts_input}, train=False)
+        # RPN-only models don't run the proposal layer internally
+        # (reference calls rpn.proposal_layer explicitly, eval_rcnn.py:150)
+        if "rois" not in out:
+            from pointrcnn_tpu.models.proposal import proposal_layer
+
+            rois, roi_scores_raw, roi_valid = proposal_layer(
+                cfg, model.mode, out["rpn_cls"][..., 0], out["rpn_reg"],
+                out["backbone_xyz"],
+            )
+            out = {**out, "rois": rois, "roi_scores_raw": roi_scores_raw,
+                   "roi_valid": roi_valid}
+        result = {
+            "rpn_cls": out["rpn_cls"],
+            "backbone_xyz": out["backbone_xyz"],
+            "backbone_features": out["backbone_features"],
+            "rois": out["rois"],
+            "roi_scores_raw": out["roi_scores_raw"],
+            "roi_valid": out["roi_valid"],
+            "seg_result": (jax.nn.sigmoid(out["rpn_cls"][..., 0]) > cfg.RPN.SCORE_THRESH),
+        }
+        if with_gt and gt_boxes3d is not None:
+            def gt_iou(roi, gt):
+                return jnp.max(boxes_iou3d(roi, gt), axis=0)
+
+            result["roi_gt_max_iou"] = jax.vmap(gt_iou)(out["rois"], gt_boxes3d)
+        return result
+
+    return jax.jit(step)
+
+
+def eval_one_epoch_rpn(model, variables, cfg, loader, result_dir,
+                       logger=None, test_mode=False, save_rpn_feature=False):
+    logger = logger or logging.getLogger(__name__)
+    dataset = loader.dataset
+    rpn_output_dir = os.path.join(result_dir, "rpn_result", "data")
+    os.makedirs(rpn_output_dir, exist_ok=True)
+    if save_rpn_feature:
+        features_dir = os.path.join(result_dir, "features")
+        seg_dir = os.path.join(result_dir, "seg_result")
+        os.makedirs(features_dir, exist_ok=True)
+        os.makedirs(seg_dir, exist_ok=True)
+
+    with_gt = not test_mode
+    step = build_rpn_eval_step(model, cfg, with_gt)
+
+    total_recalled = np.zeros(len(THRESH_LIST), np.int64)
+    total_gt = 0
+    seg_correct = seg_union = 0.0
+
+    for batch in loader:
+        pts_input = jnp.asarray(batch["pts_input"])
+        if with_gt and "gt_boxes3d" in batch:
+            out = step(variables, pts_input, jnp.asarray(batch["gt_boxes3d"]))
+        else:
+            out = step(variables, pts_input)
+        out = jax.device_get(out)
+        B = pts_input.shape[0]
+
+        if with_gt and "roi_gt_max_iou" in out:
+            for k in range(B):
+                v = batch["gt_valid"][k]
+                if v.sum() == 0:
+                    continue
+                gmi = out["roi_gt_max_iou"][k][v]
+                for i, th in enumerate(THRESH_LIST):
+                    total_recalled[i] += int((gmi > th).sum())
+                total_gt += int(v.sum())
+            if "rpn_cls_label" in batch:
+                label = batch["rpn_cls_label"]
+                seg = out["seg_result"].astype(np.int64)
+                fg = label > 0
+                correct = ((seg == label) & fg).sum()
+                union = fg.sum() + (seg > 0).sum() - correct
+                seg_correct += float(correct)
+                seg_union += float(max(union, 1))
+
+        for k in range(B):
+            sample_id = int(batch["sample_id"][k])
+            calib = dataset.get_calib(sample_id)
+            img_shape = dataset.get_image_shape(sample_id)
+            v = out["roi_valid"][k]
+            save_kitti_format(
+                sample_id, calib, out["rois"][k][v], rpn_output_dir,
+                out["roi_scores_raw"][k][v], img_shape, class_name=cfg.CLASSES,
+            )
+            if save_rpn_feature:
+                save_rpn_features(
+                    features_dir, sample_id,
+                    out["seg_result"][k].astype(np.float32),
+                    out["rpn_cls"][k][..., 0],
+                    batch["pts_features"][k][:, 0],
+                    out["backbone_xyz"][k],
+                    out["backbone_features"][k],
+                )
+
+    ret = {"total_gt_bbox": max(total_gt, 1)}
+    for i, th in enumerate(THRESH_LIST):
+        ret[f"recall_{th}"] = total_recalled[i] / max(total_gt, 1)
+        logger.info("rpn recall@%.1f: %.4f", th, ret[f"recall_{th}"])
+    if seg_union > 0:
+        ret["rpn_seg_iou"] = seg_correct / seg_union
+    return ret, rpn_output_dir
