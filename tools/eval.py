@@ -1,0 +1,136 @@
+"""Evaluation CLI (reference tools/eval_rcnn.py).
+
+Modes:
+  rpn   — RPN-only eval: proposal recall, seg IoU, optional feature dump
+          (--save_rpn_feature) for the offline RCNN stage interface
+  rcnn  — full two-stage eval: recall, KITTI result files, official AP
+
+--eval_all evaluates every checkpoint in the ckpt dir (reference
+repeat_eval_ckpt / eval_all, eval_rcnn.py:729-841).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="PointRCNN-TPU evaluator")
+    p.add_argument("--cfg_file", type=str, default="cfgs/default.yaml")
+    p.add_argument("--eval_mode", type=str, required=True, choices=["rpn", "rcnn"])
+    p.add_argument("--ckpt", type=str, default=None)
+    p.add_argument("--eval_all", action="store_true")
+    p.add_argument("--test", action="store_true", help="test split (no labels)")
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--workers", type=int, default=4)
+    p.add_argument("--data_root", type=str, default="data")
+    p.add_argument("--output_dir", type=str, default=None)
+    p.add_argument("--save_rpn_feature", action="store_true")
+    p.add_argument("--save_result", action="store_true")
+    p.add_argument("--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER)
+    return p.parse_args()
+
+
+def create_logger(log_file):
+    os.makedirs(os.path.dirname(log_file), exist_ok=True)
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s  %(levelname)5s  %(message)s",
+        handlers=[logging.FileHandler(log_file), logging.StreamHandler()],
+    )
+    return logging.getLogger("eval")
+
+
+def eval_ckpt(args, cfg, ckpt_path, logger):
+    import jax
+    from pointrcnn_tpu.data.loader import DataLoader
+    from pointrcnn_tpu.data.rpn_dataset import KittiRCNNDataset
+    from pointrcnn_tpu.eval.evaluator import eval_one_epoch_joint, eval_one_epoch_rpn
+    from pointrcnn_tpu.eval.kitti_eval import evaluate
+    from pointrcnn_tpu.models.point_rcnn import PointRCNN
+    from pointrcnn_tpu.train.checkpoint import load_checkpoint
+    from pointrcnn_tpu.train.optimizer import build_optimizer
+    from pointrcnn_tpu.train.state import create_train_state
+
+    np.random.seed(666 if args.eval_mode == "rcnn" else 1024)  # reference seeds
+    split = cfg.TEST.SPLIT if not args.test else "test"
+    mode = "TEST" if args.test else "EVAL"
+    dataset = KittiRCNNDataset(
+        args.data_root, cfg, npoints=cfg.RPN.NUM_POINTS, split=split, mode=mode,
+        classes=cfg.CLASSES, logger=logger, random_select=True,
+    )
+    loader = DataLoader(dataset, batch_size=args.batch_size, num_workers=args.workers)
+
+    model = PointRCNN(cfg=cfg, mode="TEST")
+    batch = dataset.collate_batch(
+        [dataset.getitem(i, np.random.RandomState(i)) for i in range(min(args.batch_size, len(dataset)))]
+    )
+    sample = {k: v for k, v in batch.items()
+              if isinstance(v, np.ndarray) and v.dtype != object}
+    tx = build_optimizer(cfg, total_steps=1, steps_per_epoch=1)
+    state = create_train_state(model, cfg, sample, tx)
+    state, epoch, _ = load_checkpoint(ckpt_path, state)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    out_root = args.output_dir or os.path.join(
+        os.path.dirname(os.path.dirname(ckpt_path)), "eval", f"epoch_{epoch}", split
+    )
+    os.makedirs(out_root, exist_ok=True)
+
+    if args.eval_mode == "rpn":
+        ret, _ = eval_one_epoch_rpn(
+            model, variables, cfg, loader, out_root, logger,
+            test_mode=args.test, save_rpn_feature=args.save_rpn_feature,
+        )
+        return ret
+
+    ret, final_dir = eval_one_epoch_joint(
+        model, variables, cfg, loader, out_root, logger,
+        test_mode=args.test, save_result=args.save_result,
+    )
+    if not args.test:
+        split_file = os.path.join(args.data_root, "KITTI", "ImageSets", f"{split}.txt")
+        label_dir = os.path.join(args.data_root, "KITTI", "object", "training", "label_2")
+        result_str, ap = evaluate(label_dir, final_dir, split_file, current_classes=(0,))
+        logger.info("\n%s", result_str)
+        ret.update(ap)
+    return ret
+
+
+def main():
+    args = parse_args()
+    from pointrcnn_tpu.config import load_config, merge_from_list
+    from pointrcnn_tpu.train.checkpoint import list_checkpoints
+
+    cfg = load_config(args.cfg_file, args.set_cfgs)
+    overrides = ["RPN.ENABLED", "True"]
+    overrides += ["RCNN.ENABLED", "True" if args.eval_mode == "rcnn" else "False"]
+    cfg = merge_from_list(cfg, overrides)
+
+    tag = os.path.splitext(os.path.basename(args.cfg_file))[0]
+    log_dir = args.output_dir or os.path.join("output", args.eval_mode, tag)
+    logger = create_logger(os.path.join(log_dir, "log_eval.txt"))
+
+    if args.eval_all:
+        ckpt_root = os.path.join(os.path.dirname(args.ckpt or ""), "")
+        ckpts = list_checkpoints(args.ckpt)
+        assert ckpts, f"no checkpoints under {args.ckpt}"
+        for epoch, path in ckpts:
+            logger.info("==== evaluating %s ====", path)
+            ret = eval_ckpt(args, cfg, path, logger)
+            logger.info("epoch %d: %s", epoch, ret)
+    else:
+        assert args.ckpt, "--ckpt required"
+        ret = eval_ckpt(args, cfg, args.ckpt, logger)
+        logger.info("result: %s", ret)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,151 @@
+"""Training CLI (reference tools/train_rcnn.py).
+
+Modes (reference train_rcnn.py:151-164):
+  rpn          — train stage 1
+  rcnn         — train stage 2 online (frozen RPN weights via --rpn_ckpt)
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="PointRCNN-TPU trainer")
+    p.add_argument("--cfg_file", type=str, default="cfgs/default.yaml")
+    p.add_argument("--train_mode", type=str, required=True, choices=["rpn", "rcnn"])
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--epochs", type=int, default=200)
+    p.add_argument("--workers", type=int, default=4)
+    p.add_argument("--ckpt_save_interval", type=int, default=5)
+    p.add_argument("--output_dir", type=str, default=None)
+    p.add_argument("--ckpt", type=str, default=None, help="resume checkpoint")
+    p.add_argument("--rpn_ckpt", type=str, default=None,
+                   help="RPN weights for rcnn training (stage hand-off)")
+    p.add_argument("--gt_database", type=str,
+                   default="data/gt_database/train_gt_database_level_Car.pkl")
+    p.add_argument("--data_root", type=str, default="data")
+    p.add_argument("--train_with_eval", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--set", dest="set_cfgs", default=None, nargs=argparse.REMAINDER)
+    return p.parse_args()
+
+
+def create_logger(log_file):
+    os.makedirs(os.path.dirname(log_file), exist_ok=True)
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s  %(levelname)5s  %(message)s",
+        handlers=[logging.FileHandler(log_file), logging.StreamHandler()],
+    )
+    return logging.getLogger("train")
+
+
+def main():
+    args = parse_args()
+    from pointrcnn_tpu.config import format_config, load_config
+    from pointrcnn_tpu.data.loader import DataLoader
+    from pointrcnn_tpu.data.rpn_dataset import KittiRCNNDataset
+    from pointrcnn_tpu.models.point_rcnn import PointRCNN
+    from pointrcnn_tpu.parallel.mesh import make_mesh
+    from pointrcnn_tpu.train.checkpoint import load_checkpoint, load_params_partial
+    from pointrcnn_tpu.train.optimizer import build_optimizer
+    from pointrcnn_tpu.train.state import create_train_state
+    from pointrcnn_tpu.train.trainer import Trainer
+
+    cfg = load_config(args.cfg_file, args.set_cfgs)
+    tag = os.path.splitext(os.path.basename(args.cfg_file))[0]
+
+    # mode switch (reference train_rcnn.py:151-164)
+    overrides = []
+    if args.train_mode == "rpn":
+        overrides += ["RPN.ENABLED", "True", "RCNN.ENABLED", "False"]
+        root_result_dir = os.path.join("output", "rpn", tag)
+    else:
+        overrides += [
+            "RPN.ENABLED", "True", "RPN.FIXED", "True", "RCNN.ENABLED", "True",
+        ]
+        root_result_dir = os.path.join("output", "rcnn", tag)
+    from pointrcnn_tpu.config import merge_from_list
+
+    cfg = merge_from_list(cfg, overrides)
+    if args.output_dir is not None:
+        root_result_dir = args.output_dir
+    os.makedirs(root_result_dir, exist_ok=True)
+
+    logger = create_logger(os.path.join(root_result_dir, "log_train.txt"))
+    logger.info("**** config ****\n%s", format_config(cfg))
+
+    gt_db = args.gt_database if cfg.GT_AUG_ENABLED and os.path.exists(args.gt_database) else None
+    train_set = KittiRCNNDataset(
+        args.data_root, cfg, npoints=cfg.RPN.NUM_POINTS, split=cfg.TRAIN.SPLIT,
+        mode="TRAIN", classes=cfg.CLASSES, gt_database_path=gt_db, logger=logger,
+    )
+    train_loader = DataLoader(
+        train_set, batch_size=args.batch_size, shuffle=True,
+        num_workers=args.workers, drop_last=True, seed=args.seed,
+    )
+    val_loader = None
+    if args.train_with_eval:
+        val_set = KittiRCNNDataset(
+            args.data_root, cfg, npoints=cfg.RPN.NUM_POINTS, split=cfg.TRAIN.VAL_SPLIT,
+            mode="EVAL", classes=cfg.CLASSES, logger=logger,
+        )
+        val_loader = DataLoader(val_set, batch_size=args.batch_size, num_workers=args.workers)
+
+    model = PointRCNN(cfg=cfg, mode="TRAIN")
+    steps_per_epoch = len(train_loader)
+    total_steps = steps_per_epoch * args.epochs
+    tx = build_optimizer(cfg, total_steps, steps_per_epoch)
+
+    sample = next(iter(train_loader))
+    sample = {k: v for k, v in sample.items()
+              if isinstance(v, np.ndarray) and v.dtype != object}
+    state = create_train_state(model, cfg, sample, tx, seed=args.seed)
+
+    start_epoch = start_it = 0
+    ckpt_dir = os.path.join(root_result_dir, "ckpt")
+    if args.ckpt:
+        state, start_epoch, start_it = load_checkpoint(args.ckpt, state)
+        logger.info("resumed from %s at epoch %d", args.ckpt, start_epoch)
+    elif args.rpn_ckpt:
+        params, stats = load_params_partial(
+            args.rpn_ckpt, state.params, state.batch_stats, ("rpn",)
+        )
+        state = state.replace(params=params, batch_stats=stats)
+        logger.info("loaded RPN weights from %s", args.rpn_ckpt)
+
+    mesh = None
+    import jax
+
+    if len(jax.devices()) > 1:
+        mesh = make_mesh()
+        logger.info("data-parallel over %d devices", len(jax.devices()))
+
+    tb_log = None
+    try:
+        from tensorboardX import SummaryWriter
+
+        tb_log = SummaryWriter(log_dir=os.path.join(root_result_dir, "tensorboard"))
+    except Exception:
+        pass
+
+    trainer = Trainer(
+        model, cfg, tx, ckpt_dir, mesh=mesh,
+        ckpt_save_interval=args.ckpt_save_interval, tb_log=tb_log, logger=logger,
+        rng_seed=args.seed,
+    )
+    trainer.train(state, start_epoch, args.epochs, train_loader, val_loader,
+                  start_it=start_it)
+    logger.info("**** training finished ****")
+
+
+if __name__ == "__main__":
+    main()
