@@ -1,0 +1,178 @@
+// Native host-side point-cloud ops for the data pipeline and evaluator.
+//
+// TPU-native counterpart of the reference's CPU extension ops
+// (lib/utils/roipool3d/src/roipool3d.cpp:97-195): the device path runs on
+// XLA/Pallas, but data-loader workers and the metric evaluator still need
+// fast host geometry. Exposed through a plain C ABI consumed via ctypes
+// (pointrcnn_tpu/utils/native.py).
+//
+// Build: g++ -O3 -march=native -shared -fPIC host_ops.cpp -o libhost_ops.so
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <algorithm>
+
+namespace {
+
+inline bool pt_in_box3d(float x, float y, float z, const float* box) {
+    // box: [cx, bottom_y, cz, h, w, l, ry]; semantics match
+    // pt_in_box3d (roipool3d_kernel.cu:14-28) incl. the 10 m pre-gate
+    const float cx = box[0], cz = box[2];
+    const float h = box[3], w = box[4], l = box[5], ry = box[6];
+    const float cy = box[1] - h * 0.5f;
+    if (std::fabs(x - cx) > 10.0f || std::fabs(y - cy) > h * 0.5f ||
+        std::fabs(z - cz) > 10.0f)
+        return false;
+    const float cosa = std::cos(ry), sina = std::sin(ry);
+    const float dx = x - cx, dz = z - cz;
+    const float x_rot = dx * cosa - dz * sina;
+    const float z_rot = dx * sina + dz * cosa;
+    return x_rot >= -l * 0.5f && x_rot <= l * 0.5f && z_rot >= -w * 0.5f &&
+           z_rot <= w * 0.5f;
+}
+
+struct Pt {
+    double x, y;
+};
+
+inline double crs(const Pt& a, const Pt& b, const Pt& o) {
+    return (a.x - o.x) * (b.y - o.y) - (b.x - o.x) * (a.y - o.y);
+}
+
+}  // namespace
+
+extern "C" {
+
+// pts (N,3) f32, boxes (M,7) f32 -> mask (M,N) uint8
+void points_in_boxes3d(const float* pts, int64_t n, const float* boxes,
+                       int64_t m, uint8_t* mask) {
+    for (int64_t k = 0; k < m; ++k) {
+        const float* box = boxes + k * 7;
+        uint8_t* row = mask + k * n;
+        for (int64_t i = 0; i < n; ++i) {
+            const float* p = pts + i * 3;
+            row[i] = pt_in_box3d(p[0], p[1], p[2], box) ? 1 : 0;
+        }
+    }
+}
+
+// Sequential first-K-in-order RoI pooling for loader workers
+// (reference roipool3d.cpp:127-195). pts (N,3), feats (N,C), boxes (M,7)
+// -> pooled (M,K,3+C), empty (M,) uint8. Boxes are pre-enlarged by caller.
+void roipool3d_cpu(const float* pts, const float* feats, int64_t n, int64_t c,
+                   const float* boxes, int64_t m, int64_t k_samples,
+                   float* pooled, uint8_t* empty) {
+    const int64_t stride = 3 + c;
+    for (int64_t b = 0; b < m; ++b) {
+        const float* box = boxes + b * 7;
+        float* out = pooled + b * k_samples * stride;
+        int64_t cnt = 0;
+        for (int64_t i = 0; i < n && cnt < k_samples; ++i) {
+            const float* p = pts + i * 3;
+            if (!pt_in_box3d(p[0], p[1], p[2], box)) continue;
+            float* dst = out + cnt * stride;
+            std::memcpy(dst, p, 3 * sizeof(float));
+            std::memcpy(dst + 3, feats + i * c, c * sizeof(float));
+            ++cnt;
+        }
+        empty[b] = cnt == 0 ? 1 : 0;
+        if (cnt == 0) {
+            std::memset(out, 0, k_samples * stride * sizeof(float));
+        } else {
+            // cyclic duplication (roipool3d_kernel.cu:152-159)
+            for (int64_t k = cnt; k < k_samples; ++k)
+                std::memcpy(out + k * stride, out + (k % cnt) * stride,
+                            stride * sizeof(float));
+        }
+    }
+}
+
+// Rotated BEV overlap of two convex quads; boxes (x1,z1,x2,z2,ry).
+// Same construction as box_overlap (iou3d_kernel.cu:108-212).
+double bev_pair_overlap(const float* box_a, const float* box_b) {
+    Pt ca[5], cb[5];
+    auto corners = [](const float* b, Pt* out) {
+        const double cx = (b[0] + b[2]) * 0.5, cy = (b[1] + b[3]) * 0.5;
+        const double cosa = std::cos((double)b[4]), sina = std::sin((double)b[4]);
+        const double xs[4] = {(double)b[0], (double)b[2], (double)b[2], (double)b[0]};
+        const double ys[4] = {(double)b[1], (double)b[1], (double)b[3], (double)b[3]};
+        for (int i = 0; i < 4; ++i) {
+            const double dx = xs[i] - cx, dy = ys[i] - cy;
+            out[i].x = dx * cosa + dy * sina + cx;
+            out[i].y = -dx * sina + dy * cosa + cy;
+        }
+        out[4] = out[0];
+    };
+    corners(box_a, ca);
+    corners(box_b, cb);
+
+    Pt cand[24];
+    int cnt = 0;
+    // edge-edge intersections
+    for (int i = 0; i < 4; ++i) {
+        for (int j = 0; j < 4; ++j) {
+            const Pt &p0 = ca[i], &p1 = ca[i + 1], &q0 = cb[j], &q1 = cb[j + 1];
+            const double s1 = crs(q0, p1, p0), s2 = crs(p1, q1, p0);
+            const double s3 = crs(p0, q1, q0), s4 = crs(q1, p1, q0);
+            if (!(s1 * s2 > 0 && s3 * s4 > 0)) continue;
+            const double s5 = crs(q1, p1, p0);
+            const double denom = s5 - s1;
+            Pt ans;
+            if (std::fabs(denom) > 1e-8) {
+                ans.x = (s5 * q0.x - s1 * q1.x) / denom;
+                ans.y = (s5 * q0.y - s1 * q1.y) / denom;
+            } else {
+                const double a0 = p0.y - p1.y, b0 = p1.x - p0.x,
+                             c0 = p0.x * p1.y - p1.x * p0.y;
+                const double a1 = q0.y - q1.y, b1 = q1.x - q0.x,
+                             c1 = q0.x * q1.y - q1.x * q0.y;
+                const double D = a0 * b1 - a1 * b0;
+                ans.x = (b0 * c1 - b1 * c0) / D;
+                ans.y = (a1 * c0 - a0 * c1) / D;
+            }
+            cand[cnt++] = ans;
+        }
+    }
+    // contained corners
+    auto in_box = [](const float* b, const Pt& p) {
+        const double cx = (b[0] + b[2]) * 0.5, cy = (b[1] + b[3]) * 0.5;
+        const double cosa = std::cos(-(double)b[4]), sina = std::sin(-(double)b[4]);
+        const double rx = (p.x - cx) * cosa + (p.y - cy) * sina + cx;
+        const double ry = -(p.x - cx) * sina + (p.y - cy) * cosa + cy;
+        const double M = 1e-5;
+        return rx > b[0] - M && rx < b[2] + M && ry > b[1] - M && ry < b[3] + M;
+    };
+    for (int k = 0; k < 4; ++k) {
+        if (in_box(box_a, cb[k])) cand[cnt++] = cb[k];
+        if (in_box(box_b, ca[k])) cand[cnt++] = ca[k];
+    }
+    if (cnt < 3) return 0.0;
+
+    Pt center{0, 0};
+    for (int i = 0; i < cnt; ++i) {
+        center.x += cand[i].x;
+        center.y += cand[i].y;
+    }
+    center.x /= cnt;
+    center.y /= cnt;
+    std::sort(cand, cand + cnt, [&](const Pt& a, const Pt& b) {
+        return std::atan2(a.y - center.y, a.x - center.x) <
+               std::atan2(b.y - center.y, b.x - center.x);
+    });
+    double area = 0;
+    for (int k = 0; k < cnt - 1; ++k)
+        area += crs(cand[k], cand[k + 1], cand[0]);
+    return std::fabs(area) * 0.5;
+}
+
+// all-pairs overlap areas: a (N,5), b (M,5) -> out (N,M) f32
+void bev_overlap(const float* boxes_a, int64_t n, const float* boxes_b,
+                 int64_t m, float* out) {
+    for (int64_t i = 0; i < n; ++i)
+        for (int64_t j = 0; j < m; ++j)
+            out[i * m + j] =
+                (float)bev_pair_overlap(boxes_a + i * 5, boxes_b + j * 5);
+}
+
+}  // extern "C"

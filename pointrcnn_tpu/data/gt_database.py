@@ -10,7 +10,7 @@ import numpy as np
 
 from pointrcnn_tpu.data.kitti_dataset import KittiDataset
 from pointrcnn_tpu.data.object3d import objs_to_boxes3d
-from pointrcnn_tpu.utils.np_geometry import points_in_boxes3d
+from pointrcnn_tpu.utils.native import points_in_boxes3d
 
 
 class GTDatabaseGenerator(KittiDataset):

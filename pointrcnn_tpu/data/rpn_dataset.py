@@ -22,10 +22,10 @@ import numpy as np
 
 from pointrcnn_tpu.data.kitti_dataset import KittiDataset
 from pointrcnn_tpu.data.object3d import get_objects_from_label, objs_to_boxes3d
+from pointrcnn_tpu.utils.native import points_in_boxes3d
 from pointrcnn_tpu.utils.np_geometry import (
     boxes_iou3d,
     enlarge_box3d,
-    points_in_boxes3d,
     rotate_pc_along_y,
 )
 
