@@ -18,8 +18,20 @@ def furthest_point_sample(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
     """``xyz``: (B, N, 3) -> (B, npoint) int32 indices.
 
     Deterministic: the first selected index is 0 (matching the CUDA kernel).
+    Dispatches to the Pallas kernel (ops.pallas_fps) for the large scene-level
+    problem shape on TPU; the XLA loop handles small/roi-level shapes (where
+    the batch is large and the per-kernel sequential grid would serialise it).
     """
     B, N, _ = xyz.shape
+    if (
+        jax.default_backend() in ("tpu", "axon")
+        and N % 1024 == 0
+        and N >= 4096
+        and B <= 16
+    ):
+        from pointrcnn_tpu.ops.pallas_fps import furthest_point_sample_pallas
+
+        return furthest_point_sample_pallas(xyz, npoint)
     xyz = xyz.astype(jnp.float32)
 
     def body(i, state):
