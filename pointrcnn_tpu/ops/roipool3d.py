@@ -36,8 +36,19 @@ def roipool3d(
     mask = points_in_boxes3d(xyz, big)  # (B, M, N)
 
     order = jnp.where(mask, jax.lax.broadcasted_iota(jnp.int32, mask.shape, 2), N)
-    neg, _ = jax.lax.top_k(-order, num_sampled)
-    hits = -neg  # (B, M, K) ascending first-hit indices, N where no hit
+    if jax.default_backend() in ("tpu", "axon") and N >= 4096:
+        # approx_min_k (TPU PartialReduce) beats the full sort top_k lowers
+        # to; ints below 2^24 are exact in f32. Selection becomes
+        # "approximately the first K in point order" — upstream shuffling
+        # makes point order random, so any in-box subset is equivalent.
+        vals, _ = jax.lax.approx_min_k(order.astype(jnp.float32), num_sampled)
+        hits = vals.astype(jnp.int32)
+        # recall<1 can leave no-hit sentinels among real hits; backfill with
+        # the first hit so downstream cyclic duplication stays in-box
+        hits = jnp.where(hits >= N, jnp.minimum(hits[..., 0:1], N - 1), hits)
+    else:
+        neg, _ = jax.lax.top_k(-order, num_sampled)
+        hits = -neg  # (B, M, K) ascending first-hit indices, N where no hit
     cnt = jnp.sum(mask, axis=-1)  # (B, M)
     empty = cnt == 0
 
