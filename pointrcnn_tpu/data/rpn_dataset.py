@@ -195,11 +195,9 @@ class KittiRCNNDataset(KittiDataset):
             return self.get_rpn_sample(index, rng)
         if cfg.RCNN.ENABLED:
             if self.mode == "TRAIN":
-                assert cfg.RCNN.ROI_SAMPLE_JIT, (
-                    "offline RCNN sampling uses get_proposal_from_file features; "
-                    "see tools/eval.py --save_rpn_feature"
-                )
-                return self.get_rcnn_sample_jit(index)
+                if cfg.RCNN.ROI_SAMPLE_JIT:
+                    return self.get_rcnn_sample_jit(index)
+                return self.get_rcnn_training_sample_batch(index, rng)
             return self.get_proposal_from_file(index)
         raise NotImplementedError
 
@@ -503,6 +501,219 @@ class KittiRCNNDataset(KittiDataset):
             "pts_depth": np.linalg.norm(xyz, ord=2, axis=1).astype(np.float32),
         }
 
+    # ------------------------------------------- offline RCNN training
+
+    @staticmethod
+    def random_aug_box3d_np(box3d: np.ndarray, method: str, rng) -> np.ndarray:
+        """Numpy roi jitter (reference kitti_rcnn_dataset.py:770-788)."""
+        if method == "single":
+            pos = rng.rand(3) - 0.5
+            hwl = (rng.rand(3) - 0.5) / (0.5 / 0.15) + 1.0
+            ang = (rng.rand(1) - 0.5) / (0.5 / (np.pi / 12))
+        elif method == "multiple":
+            ranges = [
+                [0.2, 0.1, np.pi / 12],
+                [0.3, 0.15, np.pi / 12],
+                [0.5, 0.15, np.pi / 9],
+                [0.8, 0.15, np.pi / 6],
+                [1.0, 0.15, np.pi / 3],
+            ]
+            r = ranges[rng.randint(len(ranges))]
+            pos = ((rng.rand(3) - 0.5) / 0.5) * r[0]
+            hwl = ((rng.rand(3) - 0.5) / 0.5) * r[1] + 1.0
+            ang = ((rng.rand(1) - 0.5) / 0.5) * r[2]
+        elif method == "normal":
+            pos = rng.normal(0, [0.3, 0.2, 0.3])
+            hwl_shift = rng.normal(0, [0.25, 0.15, 0.5])
+            ang = ((rng.rand(1) - 0.5) / 0.5) * np.pi / 12
+            return np.concatenate(
+                [box3d[0:3] + pos, box3d[3:6] + hwl_shift, box3d[6:7] + ang]
+            ).astype(np.float32)
+        else:
+            raise NotImplementedError(method)
+        return np.concatenate(
+            [box3d[0:3] + pos, box3d[3:6] * hwl, box3d[6:7] + ang]
+        ).astype(np.float32)
+
+    def aug_roi_by_noise_batch(self, roi_boxes3d, gt_of_rois, aug_times, rng):
+        """Retry-until-IoU jitter (reference aug_roi_by_noise_batch)."""
+        cfg = self.cfg
+        pos_thresh = min(cfg.RCNN.REG_FG_THRESH, cfg.RCNN.CLS_FG_THRESH)
+        out = roi_boxes3d.copy()
+        iou_out = np.zeros(len(out), np.float32)
+        for k in range(len(out)):
+            temp_iou = cnt = 0
+            aug_box = roi_boxes3d[k]
+            keep = True
+            while temp_iou < pos_thresh and cnt < aug_times:
+                if rng.rand() < 0.2:
+                    aug_box = roi_boxes3d[k]
+                    keep = True
+                else:
+                    aug_box = self.random_aug_box3d_np(
+                        roi_boxes3d[k], cfg.RCNN.REG_AUG_METHOD, rng
+                    )
+                    keep = False
+                temp_iou = boxes_iou3d(
+                    aug_box.reshape(1, 7), gt_of_rois[k].reshape(1, 7)
+                )[0, 0]
+                cnt += 1
+            out[k] = aug_box
+            if cnt == 0 or keep:
+                iou_out[k] = boxes_iou3d(
+                    roi_boxes3d[k].reshape(1, 7), gt_of_rois[k].reshape(1, 7)
+                )[0, 0]
+            else:
+                iou_out[k] = temp_iou
+        return out, iou_out
+
+    def _sample_bg_inds_np(self, hard_bg, easy_bg, num, rng):
+        """(reference sample_bg_inds, proposal_target_layer.py:184-211)."""
+        cfg = self.cfg
+        if hard_bg.size > 0 and easy_bg.size > 0:
+            hard_num = int(num * cfg.RCNN.HARD_BG_RATIO)
+            easy_num = num - hard_num
+            return np.concatenate(
+                [
+                    hard_bg[rng.randint(0, hard_bg.size, hard_num)],
+                    easy_bg[rng.randint(0, easy_bg.size, easy_num)],
+                ]
+            )
+        pool = hard_bg if hard_bg.size > 0 else easy_bg
+        return pool[rng.randint(0, pool.size, num)]
+
+    @staticmethod
+    def canonical_transform_batch(pts_input, roi_boxes3d, gt_boxes3d):
+        """(reference kitti_rcnn_dataset.py:700-719)."""
+        roi_ry = roi_boxes3d[:, 6] % (2 * np.pi)
+        roi_center = roi_boxes3d[:, 0:3]
+        pts = pts_input.copy()
+        pts[:, :, 0:3] -= roi_center[:, None, :]
+        gt_ct = gt_boxes3d.copy()
+        gt_ct[:, 0:3] -= roi_center
+        gt_ct[:, 6] -= roi_ry
+        for k in range(len(roi_ry)):
+            pts[k] = rotate_pc_along_y(pts[k], roi_ry[k])
+            gt_ct[k : k + 1] = rotate_pc_along_y(gt_ct[k : k + 1], roi_ry[k])
+        return pts, gt_ct
+
+    def get_rcnn_training_sample_batch(self, index: int, rng) -> dict:
+        """Offline (CPU-side) RoI sampling + pooling for RCNN training
+        (reference kitti_rcnn_dataset.py:876-1022)."""
+        from pointrcnn_tpu.utils.native import roipool3d_cpu
+
+        cfg = self.cfg
+        sample_id = int(self.sample_id_list[index])
+        rpn_xyz, rpn_features, rpn_intensity, seg_mask = self.get_rpn_features(
+            self.rcnn_training_feature_dir, sample_id
+        )
+        roi_file = os.path.join(self.rcnn_training_roi_dir, "%06d.txt" % sample_id)
+        roi_boxes3d = objs_to_boxes3d(get_objects_from_label(roi_file))
+        gt_boxes3d = objs_to_boxes3d(self.filtrate_objects(self.get_label(sample_id)))
+
+        iou = boxes_iou3d(roi_boxes3d, gt_boxes3d)
+        max_overlaps, gt_assignment = iou.max(axis=1), iou.argmax(axis=1)
+        max_iou_of_gt, roi_assignment = iou.max(axis=0), iou.argmax(axis=0)
+        roi_assignment = roi_assignment[max_iou_of_gt > 0].reshape(-1)
+
+        R = cfg.RCNN.ROI_PER_IMAGE
+        fg_rois_per_image = int(np.round(cfg.RCNN.FG_RATIO * R))
+        fg_thresh = min(cfg.RCNN.REG_FG_THRESH, cfg.RCNN.CLS_FG_THRESH)
+        fg_inds = np.nonzero(max_overlaps >= fg_thresh)[0]
+        # best-roi-per-gt also counts as fg (kitti_rcnn_dataset.py:901)
+        fg_inds = np.concatenate([fg_inds, roi_assignment])
+        easy_bg = np.nonzero(max_overlaps < cfg.RCNN.CLS_BG_THRESH_LO)[0]
+        hard_bg = np.nonzero(
+            (max_overlaps < cfg.RCNN.CLS_BG_THRESH)
+            & (max_overlaps >= cfg.RCNN.CLS_BG_THRESH_LO)
+        )[0]
+
+        fg_num, bg_num = fg_inds.size, easy_bg.size + hard_bg.size
+        if fg_num > 0 and bg_num > 0:
+            fg_take = min(fg_rois_per_image, fg_num)
+            fg_inds = fg_inds[rng.permutation(fg_num)[:fg_take]]
+            bg_inds = self._sample_bg_inds_np(hard_bg, easy_bg, R - fg_take, rng)
+        elif fg_num > 0:
+            fg_inds = fg_inds[np.floor(rng.rand(R) * fg_num).astype(np.int64)]
+            fg_take, bg_inds = R, np.array([], np.int64)
+        elif bg_num > 0:
+            fg_take, fg_inds = 0, np.array([], np.int64)
+            bg_inds = self._sample_bg_inds_np(hard_bg, easy_bg, R, rng)
+        else:
+            # degenerate scene: cycle rois, all labels invalidated below
+            fg_take, fg_inds = 0, np.array([], np.int64)
+            bg_inds = np.arange(R) % max(len(roi_boxes3d), 1)
+
+        roi_list, iou_list, gt_list = [], [], []
+        if fg_take > 0:
+            fg_rois, fg_iou = self.aug_roi_by_noise_batch(
+                roi_boxes3d[fg_inds].copy(), gt_boxes3d[gt_assignment[fg_inds]],
+                aug_times=cfg.RCNN.ROI_FG_AUG_TIMES, rng=rng,
+            )
+            roi_list.append(fg_rois)
+            iou_list.append(fg_iou)
+            gt_list.append(gt_boxes3d[gt_assignment[fg_inds]])
+        if len(bg_inds) > 0:
+            bg_rois, bg_iou = self.aug_roi_by_noise_batch(
+                roi_boxes3d[bg_inds].copy(), gt_boxes3d[gt_assignment[bg_inds]],
+                aug_times=1, rng=rng,
+            )
+            roi_list.append(bg_rois)
+            iou_list.append(bg_iou)
+            gt_list.append(gt_boxes3d[gt_assignment[bg_inds]])
+
+        rois = np.concatenate(roi_list, axis=0)
+        iou_of_rois = np.concatenate(iou_list, axis=0)
+        gt_of_rois = np.concatenate(gt_list, axis=0)
+
+        extra = [seg_mask.reshape(-1, 1)]
+        if cfg.RCNN.USE_INTENSITY:
+            extra.insert(0, rpn_intensity.reshape(-1, 1))
+        if cfg.RCNN.USE_DEPTH:
+            depth = (np.linalg.norm(rpn_xyz, ord=2, axis=1) / 70.0) - 0.5
+            extra.append(depth.reshape(-1, 1))
+        all_feats = np.concatenate(extra + [rpn_features], axis=1)
+
+        pooled, empty = roipool3d_cpu(
+            rpn_xyz, all_feats, rois, cfg.RCNN.POOL_EXTRA_WIDTH, cfg.RCNN.NUM_POINTS
+        )
+        n_extra = len(extra)
+        pts_input = pooled[:, :, : 3 + n_extra].copy()  # xyz + extra channels
+        pts_features = pooled[:, :, 3 + n_extra :].copy()
+
+        if cfg.AUG_DATA and self.mode == "TRAIN":
+            for k in range(len(rois)):
+                boxes2 = np.stack([rois[k], gt_of_rois[k]], axis=0)
+                beta = np.arctan2(boxes2[:, 2], boxes2[:, 0]).astype(np.float64)
+                alpha = -np.sign(beta) * np.pi / 2 + beta + boxes2[:, 6]
+                aug_pts, aug_boxes, _ = self.data_augmentation(
+                    pts_input[k, :, 0:3].copy(), boxes2, alpha, rng, mustaug=True
+                )
+                pts_input[k, :, 0:3] = aug_pts
+                rois[k], gt_of_rois[k] = aug_boxes[0], aug_boxes[1]
+
+        valid_mask = (~empty).astype(np.int32)
+        reg_valid_mask = ((iou_of_rois > cfg.RCNN.REG_FG_THRESH).astype(np.int32) & valid_mask)
+        cls_label = (iou_of_rois > cfg.RCNN.CLS_FG_THRESH).astype(np.int32)
+        invalid = (iou_of_rois > cfg.RCNN.CLS_BG_THRESH) & (iou_of_rois < cfg.RCNN.CLS_FG_THRESH)
+        cls_label[invalid] = -1
+        cls_label[valid_mask == 0] = -1
+
+        pts_input_ct, gt_boxes3d_ct = self.canonical_transform_batch(
+            pts_input, rois, gt_of_rois
+        )
+
+        return {
+            "sample_id": sample_id,
+            "pts_input": pts_input_ct.astype(np.float32),
+            "pts_features": pts_features.astype(np.float32),
+            "cls_label": cls_label,
+            "reg_valid_mask": reg_valid_mask,
+            "gt_boxes3d_ct": gt_boxes3d_ct.astype(np.float32),
+            "roi_boxes3d": rois.astype(np.float32),
+            "roi_size": rois[:, 3:6].astype(np.float32),
+        }
+
     def get_proposal_from_file(self, index: int) -> dict:
         """Eval from saved RPN proposals + features (reference
         kitti_rcnn_dataset.py:790-874, tensors-only subset)."""
@@ -535,10 +746,20 @@ class KittiRCNNDataset(KittiDataset):
         """Stack a list of samples; variable-count box arrays are padded to
         ``cfg.RCNN.MAX_GT_BOXES`` with a ``*_valid`` mask (fixed shapes for
         jit; reference pads to batch max, kitti_rcnn_dataset.py:1104-1137)."""
-        max_gt = self.cfg.RCNN.MAX_GT_BOXES
+        cfg = self.cfg
+        max_gt = cfg.RCNN.MAX_GT_BOXES
+        offline_rcnn_train = (
+            cfg.RCNN.ENABLED and not cfg.RPN.ENABLED
+            and not cfg.RCNN.ROI_SAMPLE_JIT and self.mode == "TRAIN"
+        )
         out = {}
         for key in batch[0].keys():
             vals = [b[key] for b in batch]
+            if offline_rcnn_train and isinstance(vals[0], np.ndarray):
+                # per-roi arrays: merge the (batch, roi) axes — rois are the
+                # RCNN's batch dimension
+                out[key] = np.concatenate(vals, axis=0)
+                continue
             if key in ("gt_boxes3d", "roi_boxes3d"):
                 padded = np.zeros((len(batch), max_gt, 7), np.float32)
                 valid = np.zeros((len(batch), max_gt), bool)

@@ -42,8 +42,14 @@ class PointRCNN(nn.Module):
     def __call__(self, input_data: dict, train: bool = False, bn_momentum=0.1):
         cfg = self.cfg
         if not cfg.RPN.ENABLED:
-            # rcnn-offline mode: pts_input comes straight from the data layer
-            return self.rcnn_net(input_data["pts_input"], train, bn_momentum)
+            # rcnn-offline mode: canonical per-roi points + RPN features come
+            # straight from the data layer (reference train_functions.py:31-33)
+            pts_input = input_data["pts_input"]
+            if "pts_features" in input_data:
+                pts_input = jnp.concatenate(
+                    [pts_input, input_data["pts_features"]], axis=-1
+                )
+            return self.rcnn_net(pts_input, train, bn_momentum)
 
         output = {}
         rpn_train = train and not cfg.RPN.FIXED

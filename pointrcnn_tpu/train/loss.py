@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from pointrcnn_tpu.utils import losses
@@ -76,7 +77,9 @@ def get_rcnn_loss(cfg, rcnn_cls, rcnn_reg, target: dict):
     tb = {}
     cls_label = target["cls_label"].astype(jnp.float32)  # (R,) in {-1, 0, 1}
     reg_valid_mask = target["reg_valid_mask"]
-    gt_boxes3d_ct = target["gt_of_rois"]
+    # online target layer emits 'gt_of_rois'; the offline data path ships
+    # canonical boxes as 'gt_boxes3d_ct' (reference train_functions.py:129)
+    gt_boxes3d_ct = target.get("gt_of_rois", target.get("gt_boxes3d_ct"))
     roi_size = target["roi_boxes3d"][:, 3:6]
 
     cls_flat = rcnn_cls.reshape(-1)
@@ -96,6 +99,16 @@ def get_rcnn_loss(cfg, rcnn_cls, rcnn_reg, target: dict):
         )
         valid = (cls_label >= 0).astype(cls_flat.dtype)
         rcnn_loss_cls = jnp.sum(ce * valid) / jnp.clip(jnp.sum(valid), 1.0, None)
+    elif cfg.RCNN.LOSS_CLS == "CrossEntropy":
+        # multi-class softmax CE with per-class weights
+        # (reference train_functions.py:163-170)
+        logits = rcnn_cls.reshape(cls_label.shape[0], -1)
+        tgt = jnp.clip(cls_label.astype(jnp.int32), 0, logits.shape[1] - 1)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, tgt[:, None], axis=1)[:, 0]
+        w = jnp.asarray(cfg.RCNN.CLS_WEIGHT)[tgt]
+        valid = (cls_label >= 0).astype(nll.dtype)
+        rcnn_loss_cls = jnp.sum(nll * w * valid) / jnp.clip(jnp.sum(valid), 1.0, None)
     else:
         raise NotImplementedError(cfg.RCNN.LOSS_CLS)
 

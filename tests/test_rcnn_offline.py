@@ -1,0 +1,89 @@
+"""Offline RCNN stage: disk interface between RPN eval and RCNN training
+(reference SURVEY §3.4): feature dump -> offline roi sampling -> train step."""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from pointrcnn_tpu.config import default_config
+from pointrcnn_tpu.data.loader import DataLoader
+from pointrcnn_tpu.data.rpn_dataset import KittiRCNNDataset
+from pointrcnn_tpu.eval.evaluator import eval_one_epoch_rpn
+from pointrcnn_tpu.models.point_rcnn import PointRCNN
+from pointrcnn_tpu.train.optimizer import build_optimizer
+from pointrcnn_tpu.train.state import create_train_state, make_train_step
+
+from kitti_fixture import make_mini_kitti
+from test_end_to_end import tiny_cfg
+
+
+@pytest.fixture(scope="module")
+def prepared(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("kitti_off"))
+    make_mini_kitti(root, num_samples=3, n_points=2500)
+
+    # 1) RPN eval with feature dump over the train split
+    cfg = tiny_cfg(joint=False)
+    model = PointRCNN(cfg=cfg, mode="TEST")
+    ds = KittiRCNNDataset(root, cfg, npoints=cfg.RPN.NUM_POINTS, split="train", mode="EVAL")
+    loader = DataLoader(ds, batch_size=3)
+    batch = next(iter(loader))
+    sample = {k: v for k, v in batch.items() if isinstance(v, np.ndarray) and v.dtype != object}
+    tx = build_optimizer(cfg, total_steps=5, steps_per_epoch=1)
+    state = create_train_state(model, cfg, sample, tx)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    result_dir = str(tmp_path_factory.mktemp("rpn_dump"))
+    eval_one_epoch_rpn(model, variables, cfg, loader, result_dir, save_rpn_feature=True)
+    return root, result_dir
+
+
+def offline_cfg():
+    cfg = default_config()
+    base = tiny_cfg(joint=True)
+    # copy the tiny rcnn dims, then switch to offline mode
+    for k in ("NUM_POINTS", "ROI_PER_IMAGE", "ROI_FG_AUG_TIMES", "XYZ_UP_LAYER",
+              "CLS_FC", "REG_FC", "MAX_GT_BOXES"):
+        cfg.RCNN[k] = base.RCNN[k]
+    cfg.RCNN.SA_CONFIG = base.RCNN.SA_CONFIG.thaw()
+    cfg.RPN.ENABLED = False
+    cfg.RCNN.ENABLED = True
+    cfg.RCNN.ROI_SAMPLE_JIT = False
+    cfg.RCNN.XYZ_UP_LAYER = [16, 16]
+    # tiny backbone features are 16-d (FP_MLPS[0][-1] in tiny cfg)
+    return cfg.freeze()
+
+
+def test_offline_rcnn_sampling_and_train_step(prepared):
+    root, result_dir = prepared
+    cfg = offline_cfg()
+    roi_dir = os.path.join(result_dir, "rpn_result", "data")
+    feat_dir = os.path.join(result_dir, "features")
+    assert os.path.exists(os.path.join(feat_dir, "000000.npy"))
+
+    ds = KittiRCNNDataset(
+        root, cfg, npoints=512, split="train", mode="TRAIN",
+        rcnn_training_roi_dir=roi_dir, rcnn_training_feature_dir=feat_dir,
+    )
+    rng = np.random.RandomState(0)
+    s = ds.getitem(0, rng)
+    R, S = cfg.RCNN.ROI_PER_IMAGE, cfg.RCNN.NUM_POINTS
+    assert s["pts_input"].shape == (R, S, 5)  # xyz + seg mask + depth
+    assert s["pts_features"].shape == (R, S, 16)
+    assert s["cls_label"].shape == (R,)
+    assert s["gt_boxes3d_ct"].shape == (R, 7)
+    assert set(np.unique(s["cls_label"])).issubset({-1, 0, 1})
+
+    loader = DataLoader(ds, batch_size=2, drop_last=True)
+    batch = next(iter(loader))
+    assert batch["pts_input"].shape == (2 * R, S, 5)  # roi axis merged
+
+    model = PointRCNN(cfg=cfg, mode="TRAIN")
+    device_batch = {k: v for k, v in batch.items() if isinstance(v, np.ndarray) and v.dtype != object}
+    tx = build_optimizer(cfg, total_steps=5, steps_per_epoch=1)
+    state = create_train_state(model, cfg, device_batch, tx)
+    step = make_train_step(model, cfg, tx, donate=False)
+    state, tb = step(state, device_batch, jax.random.PRNGKey(0), 0.1)
+    assert np.isfinite(float(tb["loss"]))
+    assert "rcnn_loss_cls" in tb

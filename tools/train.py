@@ -20,7 +20,12 @@ import numpy as np
 def parse_args():
     p = argparse.ArgumentParser(description="PointRCNN-TPU trainer")
     p.add_argument("--cfg_file", type=str, default="cfgs/default.yaml")
-    p.add_argument("--train_mode", type=str, required=True, choices=["rpn", "rcnn"])
+    p.add_argument("--train_mode", type=str, required=True,
+                   choices=["rpn", "rcnn", "rcnn_offline"])
+    p.add_argument("--rcnn_training_roi_dir", type=str, default=None,
+                   help="rpn proposal txts for offline rcnn training")
+    p.add_argument("--rcnn_training_feature_dir", type=str, default=None,
+                   help="rpn feature npys for offline rcnn training")
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--epochs", type=int, default=200)
     p.add_argument("--workers", type=int, default=4)
@@ -68,11 +73,22 @@ def main():
     if args.train_mode == "rpn":
         overrides += ["RPN.ENABLED", "True", "RCNN.ENABLED", "False"]
         root_result_dir = os.path.join("output", "rpn", tag)
-    else:
+    elif args.train_mode == "rcnn":
         overrides += [
             "RPN.ENABLED", "True", "RPN.FIXED", "True", "RCNN.ENABLED", "True",
         ]
         root_result_dir = os.path.join("output", "rcnn", tag)
+    else:  # rcnn_offline: stage 2 over saved RPN proposals/features
+        overrides += [
+            "RPN.ENABLED", "False", "RCNN.ENABLED", "True",
+            "RCNN.ROI_SAMPLE_JIT", "False",
+        ]
+        root_result_dir = os.path.join("output", "rcnn_offline", tag)
+        assert args.rcnn_training_roi_dir and args.rcnn_training_feature_dir, (
+            "rcnn_offline requires --rcnn_training_roi_dir and "
+            "--rcnn_training_feature_dir (produced by tools/eval.py "
+            "--eval_mode rpn --save_rpn_feature)"
+        )
     from pointrcnn_tpu.config import merge_from_list
 
     cfg = merge_from_list(cfg, overrides)
@@ -87,6 +103,8 @@ def main():
     train_set = KittiRCNNDataset(
         args.data_root, cfg, npoints=cfg.RPN.NUM_POINTS, split=cfg.TRAIN.SPLIT,
         mode="TRAIN", classes=cfg.CLASSES, gt_database_path=gt_db, logger=logger,
+        rcnn_training_roi_dir=args.rcnn_training_roi_dir,
+        rcnn_training_feature_dir=args.rcnn_training_feature_dir,
     )
     train_loader = DataLoader(
         train_set, batch_size=args.batch_size, shuffle=True,
