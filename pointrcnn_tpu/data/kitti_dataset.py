@@ -28,6 +28,14 @@ class KittiDataset:
         self.label_dir = os.path.join(self.imageset_dir, "label_2")
         self.plane_dir = os.path.join(self.imageset_dir, "planes")
 
+    def get_image(self, idx: int):
+        from PIL import Image
+
+        img_file = os.path.join(self.image_dir, "%06d.png" % idx)
+        assert os.path.exists(img_file), img_file
+        with Image.open(img_file) as im:
+            return np.asarray(im)
+
     def get_image_shape(self, idx: int):
         from PIL import Image
 

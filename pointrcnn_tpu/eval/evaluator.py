@@ -140,6 +140,13 @@ def eval_one_epoch_joint(model, variables, cfg, loader, result_dir,
     final_output_dir = os.path.join(result_dir, "final_result", "data")
     os.makedirs(final_output_dir, exist_ok=True)
 
+    if save_result:
+        roi_output_dir = os.path.join(result_dir, "roi_result", "data")
+        refine_output_dir = os.path.join(result_dir, "refine_result", "data")
+        rpn_output_dir = os.path.join(result_dir, "rpn_result", "data")
+        for d in (roi_output_dir, refine_output_dir, rpn_output_dir):
+            os.makedirs(d, exist_ok=True)
+
     with_gt = not test_mode
     step = build_joint_eval_step(model, cfg, with_gt)
 
@@ -170,6 +177,24 @@ def eval_one_epoch_joint(model, variables, cfg, loader, result_dir,
                     total_recalled[i] += int((gmi > th).sum())
                     total_roi_recalled[i] += int((rmi > th).sum())
                 total_gt += int(v.sum())
+
+        if save_result:
+            # intermediate dumps (reference eval_rcnn.py:584-608)
+            seg = (jax.nn.sigmoid(out["rpn_cls"][..., 0]) > cfg.RPN.SCORE_THRESH)
+            dump = np.concatenate(
+                [out["backbone_xyz"], out["rpn_cls"],
+                 np.asarray(seg)[..., None].astype(np.float32)], axis=2
+            ).astype(np.float32)
+            for k in range(B):
+                sid = int(batch["sample_id"][k])
+                calib = dataset.get_calib(sid)
+                img_shape = dataset.get_image_shape(sid)
+                v = out["roi_valid"][k]
+                save_kitti_format(sid, calib, out["rois"][k][v], roi_output_dir,
+                                  out["roi_scores_raw"][k][v], img_shape, cfg.CLASSES)
+                save_kitti_format(sid, calib, out["pred_boxes3d"][k][v], refine_output_dir,
+                                  out["raw_scores"][k][v], img_shape, cfg.CLASSES)
+                np.save(os.path.join(rpn_output_dir, "%06d.npy" % sid), dump[k])
 
         for k in range(B):
             sel = out["sel_idx"][k][out["sel_valid"][k]]

@@ -45,6 +45,8 @@ class Trainer:
         tb_log=None,
         logger: logging.Logger | None = None,
         rng_seed: int = 0,
+        profile_dir: str | None = None,
+        profile_steps: tuple[int, int] = (10, 15),
     ):
         self.model = model
         self.cfg = cfg
@@ -57,6 +59,10 @@ class Trainer:
         self.logger = logger or logging.getLogger(__name__)
         self.rng = jax.random.PRNGKey(rng_seed)
         self.train_step = make_train_step(model, cfg, tx)
+        # optional jax.profiler trace window (the reference has no tracing;
+        # SURVEY §5 calls for jax.profiler hooks in the rebuild)
+        self.profile_dir = profile_dir
+        self.profile_steps = profile_steps
 
     def train(self, state, start_epoch: int, n_epochs: int, train_loader,
               val_loader=None, start_it: int = 0):
@@ -71,10 +77,15 @@ class Trainer:
             t0 = time.time()
             n_batches = 0
             for batch in train_loader:
+                if self.profile_dir and it == self.profile_steps[0]:
+                    jax.profiler.start_trace(self.profile_dir)
                 device_batch = _batch_to_device(batch, self.mesh)
                 state, tb = self.train_step(state, device_batch, self.rng, bn_momentum)
                 it += 1
                 n_batches += 1
+                if self.profile_dir and it == self.profile_steps[1]:
+                    jax.device_get(tb["loss"])
+                    jax.profiler.stop_trace()
                 if self.tb_log is not None and it % 10 == 0:
                     for k, v in tb.items():
                         self.tb_log.add_scalar(f"train_{k}", float(v), it)

@@ -27,6 +27,9 @@ def parse_args():
     p.add_argument("--eval_mode", type=str, required=True, choices=["rpn", "rcnn"])
     p.add_argument("--ckpt", type=str, default=None)
     p.add_argument("--eval_all", action="store_true")
+    p.add_argument("--wait", action="store_true",
+                   help="with --eval_all: keep polling the ckpt dir for new "
+                        "checkpoints (reference repeat_eval_ckpt, eval_rcnn.py:784-841)")
     p.add_argument("--test", action="store_true", help="test split (no labels)")
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--workers", type=int, default=4)
@@ -119,13 +122,22 @@ def main():
     logger = create_logger(os.path.join(log_dir, "log_eval.txt"))
 
     if args.eval_all:
-        ckpt_root = os.path.join(os.path.dirname(args.ckpt or ""), "")
-        ckpts = list_checkpoints(args.ckpt)
-        assert ckpts, f"no checkpoints under {args.ckpt}"
-        for epoch, path in ckpts:
-            logger.info("==== evaluating %s ====", path)
-            ret = eval_ckpt(args, cfg, path, logger)
-            logger.info("epoch %d: %s", epoch, ret)
+        import time
+
+        evaluated: set[int] = set()
+        while True:
+            ckpts = [c for c in list_checkpoints(args.ckpt) if c[0] not in evaluated]
+            if not ckpts and not args.wait:
+                assert evaluated, f"no checkpoints under {args.ckpt}"
+                break
+            for epoch, path in ckpts:
+                logger.info("==== evaluating %s ====", path)
+                ret = eval_ckpt(args, cfg, path, logger)
+                logger.info("epoch %d: %s", epoch, ret)
+                evaluated.add(epoch)
+            if not args.wait:
+                break
+            time.sleep(30)  # poll interval (reference eval_rcnn.py:817-824)
     else:
         assert args.ckpt, "--ckpt required"
         ret = eval_ckpt(args, cfg, args.ckpt, logger)
