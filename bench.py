@@ -42,18 +42,18 @@ def main():
 
     fwd = jax.jit(lambda v, b: model.apply(v, b, train=False))
 
-    def run_once():
-        out = fwd(variables, batch)
-        # device_get is the reliable sync barrier on this platform
-        # (block_until_ready returns early through the remote relay)
-        jax.device_get(out["rcnn_cls"])
-
     for _ in range(WARMUP):
-        run_once()
+        out = fwd(variables, batch)
+    # device_get is the reliable sync barrier on this platform
+    # (block_until_ready returns early through the remote relay)
+    jax.device_get(out["rcnn_cls"])
 
+    # enqueue all iterations, then sync once: executions serialise on the
+    # single core, so total time = device time + one ~28 ms relay round-trip
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        run_once()
+        out = fwd(variables, batch)
+    jax.device_get(out["rcnn_cls"])
     dt = time.perf_counter() - t0
 
     fps = BATCH * ITERS / dt

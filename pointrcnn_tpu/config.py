@@ -120,6 +120,9 @@ def default_config() -> ConfigNode:
     c = ConfigNode()
     c.TAG = "default"
     c.CLASSES = "Car"
+    # matmul compute dtype for the MLP stacks ('float32' | 'bfloat16');
+    # params, BN statistics and all geometry stay float32
+    c.COMPUTE_DTYPE = "bfloat16"
     c.INCLUDE_SIMILAR_TYPE = False
 
     # scene-level augmentation

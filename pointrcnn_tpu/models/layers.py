@@ -67,20 +67,28 @@ class BatchNorm(nn.Module):
 
 
 class ConvBN(nn.Module):
-    """Dense (+BN) (+ReLU) — the reference's Conv1d/Conv2d-k1 block."""
+    """Dense (+BN) (+ReLU) — the reference's Conv1d/Conv2d-k1 block.
+
+    ``dtype`` selects the matmul compute dtype (bf16 feeds the MXU at full
+    rate); params and BN statistics stay float32.
+    """
 
     features: int
     bn: bool = True
     activation: bool = True
     kernel_init: nn.initializers.Initializer = torch_conv_init
     use_bias: bool | None = None  # default: bias iff no BN (pt_utils convention)
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False, bn_momentum=0.1) -> jnp.ndarray:
         use_bias = (not self.bn) if self.use_bias is None else self.use_bias
-        x = nn.Dense(self.features, use_bias=use_bias, kernel_init=self.kernel_init)(x)
+        x = nn.Dense(
+            self.features, use_bias=use_bias, kernel_init=self.kernel_init,
+            dtype=self.dtype,
+        )(x)
         if self.bn:
-            x = BatchNorm()(x, train, bn_momentum)
+            x = BatchNorm()(x.astype(jnp.float32), train, bn_momentum)
         if self.activation:
             x = nn.relu(x)
         return x
@@ -92,11 +100,14 @@ class SharedMLP(nn.Module):
     features: Sequence[int]
     bn: bool = True
     kernel_init: nn.initializers.Initializer = torch_conv_init
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False, bn_momentum=0.1) -> jnp.ndarray:
         for f in self.features:
-            x = ConvBN(f, bn=self.bn, kernel_init=self.kernel_init)(x, train, bn_momentum)
+            x = ConvBN(f, bn=self.bn, kernel_init=self.kernel_init, dtype=self.dtype)(
+                x, train, bn_momentum
+            )
         return x
 
 
@@ -111,16 +122,20 @@ class HeadMLP(nn.Module):
     kernel_init: nn.initializers.Initializer = torch_conv_init
     out_kernel_init: nn.initializers.Initializer = final_layer_init()
     out_bias_init: nn.initializers.Initializer = nn.initializers.zeros
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False, bn_momentum=0.1) -> jnp.ndarray:
         for i, f in enumerate(self.hidden):
-            x = ConvBN(f, bn=self.bn, kernel_init=self.kernel_init)(x, train, bn_momentum)
+            x = ConvBN(f, bn=self.bn, kernel_init=self.kernel_init, dtype=self.dtype)(
+                x, train, bn_momentum
+            )
             if i == 0 and self.dp_ratio > 0:
                 x = nn.Dropout(self.dp_ratio, deterministic=not train)(x)
         x = nn.Dense(
             self.out_features,
             kernel_init=self.out_kernel_init,
             bias_init=self.out_bias_init,
+            dtype=self.dtype,
         )(x)
-        return x
+        return x.astype(jnp.float32)

@@ -31,6 +31,7 @@ class SetAbstractionMSG(nn.Module):
     use_xyz: bool = True
     bn: bool = True
     ball_chunk: int = 512
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, xyz, features, train: bool = False, bn_momentum=0.1):
@@ -43,7 +44,9 @@ class SetAbstractionMSG(nn.Module):
         for radius, nsample, mlp in zip(self.radii, self.nsamples, self.mlps):
             idx = ball_query(xyz, new_xyz, radius, nsample, chunk=self.ball_chunk)
             grouped = group_points(xyz, features, new_xyz, idx, self.use_xyz)
-            feat = SharedMLP(tuple(mlp), bn=self.bn)(grouped, train, bn_momentum)
+            feat = SharedMLP(tuple(mlp), bn=self.bn, dtype=self.dtype)(
+                grouped, train, bn_momentum
+            )
             outs.append(jnp.max(feat, axis=2))
         return new_xyz, jnp.concatenate(outs, axis=-1)
 
@@ -59,6 +62,7 @@ class SetAbstraction(nn.Module):
     use_xyz: bool = True
     bn: bool = True
     ball_chunk: int = 512
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, xyz, features, train: bool = False, bn_momentum=0.1):
@@ -75,7 +79,9 @@ class SetAbstraction(nn.Module):
                 g = jnp.concatenate([g, features[:, None, :, :]], axis=-1) if self.use_xyz \
                     else features[:, None, :, :]
             grouped = g
-        feat = SharedMLP(tuple(self.mlp), bn=self.bn)(grouped, train, bn_momentum)
+        feat = SharedMLP(tuple(self.mlp), bn=self.bn, dtype=self.dtype)(
+            grouped, train, bn_momentum
+        )
         return new_xyz, jnp.max(feat, axis=2)
 
 
@@ -85,6 +91,7 @@ class FeaturePropagation(nn.Module):
     mlp: Sequence[int]
     bn: bool = True
     nn_chunk: int = 2048
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, unknown_xyz, known_xyz, unknown_feats, known_feats,
@@ -93,7 +100,9 @@ class FeaturePropagation(nn.Module):
         interp = three_interpolate(known_feats, idx, dist)
         if unknown_feats is not None:
             interp = jnp.concatenate([interp, unknown_feats], axis=-1)
-        return SharedMLP(tuple(self.mlp), bn=self.bn)(interp, train, bn_momentum)
+        return SharedMLP(tuple(self.mlp), bn=self.bn, dtype=self.dtype)(
+            interp, train, bn_momentum
+        )
 
 
 class Pointnet2MSG(nn.Module):
@@ -108,6 +117,7 @@ class Pointnet2MSG(nn.Module):
     fp_mlps: Sequence[Sequence[int]]
     use_xyz: bool = True
     bn: bool = True
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, pointcloud, train: bool = False, bn_momentum=0.1):
@@ -123,6 +133,7 @@ class Pointnet2MSG(nn.Module):
                 mlps=tuple(tuple(m) for m in self.mlps[k]),
                 use_xyz=self.use_xyz,
                 bn=self.bn,
+                dtype=self.dtype,
             )
             li_xyz, li_feat = sa(l_xyz[k], l_features[k], train, bn_momentum)
             l_xyz.append(li_xyz)
@@ -130,7 +141,7 @@ class Pointnet2MSG(nn.Module):
 
         n_fp = len(self.fp_mlps)
         for i in range(-1, -(n_fp + 1), -1):
-            fp = FeaturePropagation(mlp=tuple(self.fp_mlps[i]), bn=self.bn)
+            fp = FeaturePropagation(mlp=tuple(self.fp_mlps[i]), bn=self.bn, dtype=self.dtype)
             l_features[i - 1] = fp(
                 l_xyz[i - 1], l_xyz[i], l_features[i - 1], l_features[i],
                 train, bn_momentum,

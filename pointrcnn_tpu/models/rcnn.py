@@ -30,19 +30,24 @@ class RCNNNet(nn.Module):
     def __call__(self, pts_input, train: bool = False, bn_momentum=0.1):
         """pts_input: (R, num_points, C) -> dict(rcnn_cls (R, 1), rcnn_reg (R, C))."""
         c = self.cfg.RCNN
+        dtype = (
+            jnp.bfloat16
+            if ("COMPUTE_DTYPE" in self.cfg and self.cfg.COMPUTE_DTYPE == "bfloat16")
+            else None
+        )
         xyz = pts_input[..., 0:3]
 
         if c.USE_RPN_FEATURES:
             in_ch = rcnn_input_channels(self.cfg)
             xyz_feature = SharedMLP(
                 tuple(c.XYZ_UP_LAYER), bn=c.USE_BN, kernel_init=xavier_normal,
-                name="xyz_up_layer",
+                dtype=dtype, name="xyz_up_layer",
             )(pts_input[..., 0:in_ch], train, bn_momentum)
             rpn_feature = pts_input[..., in_ch:]
             merged = jnp.concatenate([xyz_feature, rpn_feature], axis=-1)
             features = SharedMLP(
                 (c.XYZ_UP_LAYER[-1],), bn=c.USE_BN, kernel_init=xavier_normal,
-                name="merge_down_layer",
+                dtype=dtype, name="merge_down_layer",
             )(merged, train, bn_momentum)
         else:
             features = pts_input[..., 3:] if pts_input.shape[-1] > 3 else None
@@ -57,6 +62,7 @@ class RCNNNet(nn.Module):
                 mlp=tuple(c.SA_CONFIG.MLPS[k]),
                 bn=c.USE_BN,
                 ball_chunk=128,
+                dtype=dtype,
             )
             l_xyz, l_features = sa(l_xyz, l_features, train, bn_momentum)
 
@@ -65,7 +71,7 @@ class RCNNNet(nn.Module):
         rcnn_cls = HeadMLP(
             hidden=tuple(c.CLS_FC), out_features=cls_channel, bn=c.USE_BN,
             dp_ratio=c.DP_RATIO, kernel_init=xavier_normal,
-            out_kernel_init=xavier_normal, name="cls_head",
+            out_kernel_init=xavier_normal, dtype=dtype, name="cls_head",
         )(l_features, train, bn_momentum)[:, 0, :]
 
         reg_channels = reg_channel_count(
@@ -77,7 +83,7 @@ class RCNNNet(nn.Module):
             hidden=tuple(c.REG_FC), out_features=reg_channels, bn=c.USE_BN,
             dp_ratio=c.DP_RATIO, kernel_init=xavier_normal,
             out_kernel_init=final_layer_init(0.001),  # reference rcnn_net.py:104
-            name="reg_head",
+            dtype=dtype, name="reg_head",
         )(l_features, train, bn_momentum)[:, 0, :]
 
         return {"rcnn_cls": rcnn_cls, "rcnn_reg": rcnn_reg}

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+import jax.numpy as jnp
 import flax.linen as nn
 
 from pointrcnn_tpu.models.layers import HeadMLP, final_layer_init
@@ -24,6 +25,11 @@ class RPN(nn.Module):
     def __call__(self, pts_input, train: bool = False, bn_momentum=0.1):
         c = self.cfg
         rpn_cfg = c.RPN
+        dtype = (
+            jnp.bfloat16
+            if ("COMPUTE_DTYPE" in c and c.COMPUTE_DTYPE == "bfloat16")
+            else None
+        )
         backbone = Pointnet2MSG(
             npoints=tuple(rpn_cfg.SA_CONFIG.NPOINTS),
             radii=tuple(tuple(r) for r in rpn_cfg.SA_CONFIG.RADIUS),
@@ -31,6 +37,7 @@ class RPN(nn.Module):
             mlps=tuple(tuple(tuple(m) for m in stage) for stage in rpn_cfg.SA_CONFIG.MLPS),
             fp_mlps=tuple(tuple(m) for m in rpn_cfg.FP_MLPS),
             bn=rpn_cfg.USE_BN,
+            dtype=dtype,
         )
         backbone_xyz, backbone_features = backbone(pts_input, train, bn_momentum)
 
@@ -47,6 +54,7 @@ class RPN(nn.Module):
             dp_ratio=rpn_cfg.DP_RATIO,
             out_kernel_init=nn.initializers.lecun_uniform(),
             out_bias_init=cls_bias_init,
+            dtype=dtype,
             name="cls_head",
         )(backbone_features, train, bn_momentum)
 
@@ -60,6 +68,7 @@ class RPN(nn.Module):
             bn=rpn_cfg.USE_BN,
             dp_ratio=rpn_cfg.DP_RATIO,
             out_kernel_init=final_layer_init(0.001),  # reference rpn.py:66
+            dtype=dtype,
             name="reg_head",
         )(backbone_features, train, bn_momentum)
 

@@ -85,10 +85,12 @@ def group_points(
     :return: (B, S, nsample, 3+C) — relative xyz concatenated with features
         (QueryAndGroup semantics from the reference pointnet2 lib).
     """
-    grouped_xyz = gather_points(xyz, idx) - new_xyz[:, :, None, :]
+    grouped_xyz = gather_points(xyz, idx, exact=True) - new_xyz[:, :, None, :]
     if features is None:
         return grouped_xyz
-    grouped_feats = gather_points(features, idx)
+    # features may take the fast bf16 one-hot gather path on TPU — they feed
+    # (bf16) MLPs, so the rounding is free; geometry stays exact above
+    grouped_feats = gather_points(features, idx, exact=False)
     if use_xyz:
         return jnp.concatenate([grouped_xyz, grouped_feats], axis=-1)
     return grouped_feats
@@ -132,5 +134,5 @@ def three_interpolate(
     """
     recip = 1.0 / (dist + 1e-8)
     weight = recip / jnp.sum(recip, axis=-1, keepdims=True)  # (B, n, 3)
-    neighbors = gather_points(features, idx)  # (B, n, 3, C)
+    neighbors = gather_points(features, idx, exact=False)  # (B, n, 3, C)
     return jnp.sum(neighbors * weight[..., None], axis=2)

@@ -23,15 +23,11 @@ def furthest_point_sample(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
     the batch is large and the per-kernel sequential grid would serialise it).
     """
     B, N, _ = xyz.shape
-    if (
-        jax.default_backend() in ("tpu", "axon")
-        and N % 1024 == 0
-        and N >= 4096
-        and B <= 16
-    ):
-        from pointrcnn_tpu.ops.pallas_fps import furthest_point_sample_pallas
+    if jax.default_backend() in ("tpu", "axon") and N % 128 == 0:
+        from pointrcnn_tpu.ops.pallas_fps import MAX_CELLS, furthest_point_sample_pallas
 
-        return furthest_point_sample_pallas(xyz, npoint)
+        if B * N <= MAX_CELLS:
+            return furthest_point_sample_pallas(xyz, npoint)
     xyz = xyz.astype(jnp.float32)
 
     def body(i, state):
