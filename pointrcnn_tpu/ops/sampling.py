@@ -28,6 +28,12 @@ def furthest_point_sample(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
 
         if B * N <= MAX_CELLS:
             return furthest_point_sample_pallas(xyz, npoint)
+    return _fps_xla(xyz, npoint)
+
+
+def _fps_xla(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
+    """Portable XLA fori_loop formulation (same greedy semantics)."""
+    B, N, _ = xyz.shape
     xyz = xyz.astype(jnp.float32)
 
     def body(i, state):
