@@ -1,0 +1,86 @@
+"""Learning sanity: the tiny RPN actually learns foreground segmentation and
+box regression on the synthetic mini-KITTI scenes."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pointrcnn_tpu.config import default_config
+from pointrcnn_tpu.data.loader import DataLoader
+from pointrcnn_tpu.data.rpn_dataset import KittiRCNNDataset
+from pointrcnn_tpu.models.point_rcnn import PointRCNN
+from pointrcnn_tpu.train.loss import get_rpn_loss
+from pointrcnn_tpu.train.optimizer import build_optimizer
+from pointrcnn_tpu.train.state import create_train_state, make_train_step
+
+from kitti_fixture import make_mini_kitti
+
+
+def small_cfg():
+    cfg = default_config()
+    cfg.RPN.NUM_POINTS = 1024
+    cfg.RPN.SA_CONFIG.NPOINTS = [256, 64]
+    cfg.RPN.SA_CONFIG.RADIUS = [[0.5, 1.0], [1.0, 2.0]]
+    cfg.RPN.SA_CONFIG.NSAMPLE = [[16, 16], [16, 16]]
+    cfg.RPN.SA_CONFIG.MLPS = [[[16, 16], [16, 32]], [[32, 32], [32, 32]]]
+    cfg.RPN.FP_MLPS = [[32, 32], [32, 32]]
+    cfg.RPN.CLS_FC = [32]
+    cfg.RPN.REG_FC = [32]
+    cfg.RPN.LOSS_CLS = "SigmoidFocalLoss"
+    cfg.RPN.USE_INTENSITY = False
+    cfg.RPN.DP_RATIO = 0.0
+    cfg.RCNN.ENABLED = False
+    cfg.RCNN.MAX_GT_BOXES = 8
+    cfg.GT_AUG_ENABLED = False
+    cfg.AUG_DATA = False
+    cfg.TRAIN.OPTIMIZER = "adam_onecycle"
+    cfg.TRAIN.LR = 0.005
+    cfg.TRAIN.MOMS = [0.9, 0.85]
+    return cfg.freeze()
+
+
+@pytest.mark.slow
+def test_rpn_learns_fg_segmentation(tmp_path):
+    root = str(tmp_path / "kitti")
+    make_mini_kitti(root, num_samples=4, n_points=3000, seed=7)
+    cfg = small_cfg()
+    ds = KittiRCNNDataset(root, cfg, npoints=cfg.RPN.NUM_POINTS, split="train", mode="TRAIN")
+    loader = DataLoader(ds, batch_size=4, shuffle=True, seed=0)
+
+    model = PointRCNN(cfg=cfg, mode="TRAIN")
+    steps = 200
+    tx = build_optimizer(cfg, total_steps=steps, steps_per_epoch=1)
+    batch0 = next(iter(loader))
+    sample = {k: v for k, v in batch0.items() if isinstance(v, np.ndarray) and v.dtype != object}
+    state = create_train_state(model, cfg, sample, tx)
+    step = make_train_step(model, cfg, tx)
+
+    def fg_metrics(state, batch):
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch, train=False,
+        )
+        scores = jax.nn.sigmoid(out["rpn_cls"][..., 0])
+        label = batch["rpn_cls_label"]
+        fg, bg = label > 0, label == 0
+        return (
+            float((scores[fg] > 0.3).mean()),
+            float((scores[bg] < 0.3).mean()),
+        )
+
+    fg_acc0, bg_acc0 = fg_metrics(state, sample)
+    losses = []
+    rng = jax.random.PRNGKey(0)
+    for i in range(steps):
+        loader.set_epoch(i)
+        for batch in loader:
+            b = {k: v for k, v in batch.items() if isinstance(v, np.ndarray) and v.dtype != object}
+            state, tb = step(state, b, rng, 0.1)
+            losses.append(float(tb["loss"]))
+            break  # one batch per "epoch" keeps this quick
+    fg_acc, bg_acc = fg_metrics(state, sample)
+
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.7, (losses[:5], losses[-5:])
+    assert fg_acc > 0.7, f"fg recall {fg_acc0} -> {fg_acc}"
+    assert bg_acc > 0.8, f"bg accuracy {bg_acc0} -> {bg_acc}"
