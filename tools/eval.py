@@ -41,14 +41,20 @@ def parse_args():
     return p.parse_args()
 
 
-def create_logger(log_file):
+def create_logger(log_file, name):
     os.makedirs(os.path.dirname(log_file), exist_ok=True)
-    logging.basicConfig(
-        level=logging.INFO,
-        format="%(asctime)s  %(levelname)5s  %(message)s",
-        handlers=[logging.FileHandler(log_file), logging.StreamHandler()],
-    )
-    return logging.getLogger("eval")
+    logger = logging.getLogger(name)
+    logger.setLevel(logging.INFO)
+    logger.handlers.clear()
+    fmt = logging.Formatter("%(asctime)s  %(levelname)5s  %(message)s")
+    fh = logging.FileHandler(log_file)
+    fh.setFormatter(fmt)
+    sh = logging.StreamHandler()
+    sh.setFormatter(fmt)
+    logger.addHandler(fh)
+    logger.addHandler(sh)
+    logger.propagate = False
+    return logger
 
 
 def eval_ckpt(args, cfg, ckpt_path, logger):
@@ -119,7 +125,7 @@ def main():
 
     tag = os.path.splitext(os.path.basename(args.cfg_file))[0]
     log_dir = args.output_dir or os.path.join("output", args.eval_mode, tag)
-    logger = create_logger(os.path.join(log_dir, "log_eval.txt"))
+    logger = create_logger(os.path.join(log_dir, "log_eval.txt"), "eval")
 
     if args.eval_all:
         import time

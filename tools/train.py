@@ -43,14 +43,20 @@ def parse_args():
     return p.parse_args()
 
 
-def create_logger(log_file):
+def create_logger(log_file, name):
     os.makedirs(os.path.dirname(log_file), exist_ok=True)
-    logging.basicConfig(
-        level=logging.INFO,
-        format="%(asctime)s  %(levelname)5s  %(message)s",
-        handlers=[logging.FileHandler(log_file), logging.StreamHandler()],
-    )
-    return logging.getLogger("train")
+    logger = logging.getLogger(name)
+    logger.setLevel(logging.INFO)
+    logger.handlers.clear()
+    fmt = logging.Formatter("%(asctime)s  %(levelname)5s  %(message)s")
+    fh = logging.FileHandler(log_file)
+    fh.setFormatter(fmt)
+    sh = logging.StreamHandler()
+    sh.setFormatter(fmt)
+    logger.addHandler(fh)
+    logger.addHandler(sh)
+    logger.propagate = False
+    return logger
 
 
 def main():
@@ -96,7 +102,7 @@ def main():
         root_result_dir = args.output_dir
     os.makedirs(root_result_dir, exist_ok=True)
 
-    logger = create_logger(os.path.join(root_result_dir, "log_train.txt"))
+    logger = create_logger(os.path.join(root_result_dir, "log_train.txt"), "train")
     logger.info("**** config ****\n%s", format_config(cfg))
 
     gt_db = args.gt_database if cfg.GT_AUG_ENABLED and os.path.exists(args.gt_database) else None
@@ -143,9 +149,12 @@ def main():
     mesh = None
     import jax
 
-    if len(jax.devices()) > 1:
-        mesh = make_mesh()
-        logger.info("data-parallel over %d devices", len(jax.devices()))
+    n_dev = len(jax.devices())
+    while n_dev > 1 and args.batch_size % n_dev != 0:
+        n_dev -= 1
+    if n_dev > 1:
+        mesh = make_mesh(n_dev)
+        logger.info("data-parallel over %d devices", n_dev)
 
     tb_log = None
     try:
