@@ -16,7 +16,13 @@ import flax.linen as nn
 
 from pointrcnn_tpu.models.layers import SharedMLP
 from pointrcnn_tpu.ops.common import gather_points
-from pointrcnn_tpu.ops.grouping import ball_query, group_points, three_interpolate, three_nn
+from pointrcnn_tpu.ops.grouping import (
+    ball_query,
+    ball_query_multi,
+    group_points,
+    three_interpolate,
+    three_nn,
+)
 from pointrcnn_tpu.ops.sampling import furthest_point_sample
 
 
@@ -40,9 +46,11 @@ class SetAbstractionMSG(nn.Module):
         fps_idx = furthest_point_sample(xyz, self.npoint)
         new_xyz = gather_points(xyz, fps_idx)
 
+        idx_list = ball_query_multi(
+            xyz, new_xyz, tuple(zip(self.radii, self.nsamples)), chunk=self.ball_chunk
+        )
         outs = []
-        for radius, nsample, mlp in zip(self.radii, self.nsamples, self.mlps):
-            idx = ball_query(xyz, new_xyz, radius, nsample, chunk=self.ball_chunk)
+        for idx, mlp in zip(idx_list, self.mlps):
             grouped = group_points(xyz, features, new_xyz, idx, self.use_xyz)
             feat = SharedMLP(tuple(mlp), bn=self.bn, dtype=self.dtype)(
                 grouped, train, bn_momentum

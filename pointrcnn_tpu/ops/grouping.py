@@ -71,6 +71,50 @@ def ball_query(
     return chunked_map(fn, new_xyz, chunk)
 
 
+def ball_query_multi(
+    xyz: jnp.ndarray,
+    new_xyz: jnp.ndarray,
+    specs,
+    chunk: int = 512,
+) -> list[jnp.ndarray]:
+    """Multi-radius ball query sharing ONE distance matrix.
+
+    MSG set-abstraction queries several radii around the same centroids
+    (reference PointnetSAModuleMSG); computing the (S, N) distance chunk once
+    and selecting per (radius, nsample) halves the dominant cost vs separate
+    ball_query calls.  Approx-kNN selection semantics (see ball_query).
+
+    :param specs: sequence of (radius, nsample)
+    :return: list of (B, S, nsample_i) int32 index arrays
+    """
+    B, N, _ = xyz.shape
+    widths = [ns for _, ns in specs]
+
+    kmax = max(widths)
+
+    def per_chunk(centroids):
+        d2 = square_distance(centroids, xyz)
+        # one PartialReduce for the largest k; smaller-k selections are its
+        # prefixes (approx_min_k returns ascending distances)
+        vals, idx = jax.lax.approx_min_k(d2, kmax, recall_target=0.95)
+        outs = []
+        for radius, nsample in specs:
+            r2 = jnp.float32(radius) ** 2
+            v, i = vals[..., :nsample], idx[..., :nsample]
+            in_r = v < r2
+            first = i[..., :1]
+            out = jnp.where(in_r, i, jnp.where(in_r[..., :1], first, 0))
+            outs.append(out.astype(jnp.int32))
+        return jnp.concatenate(outs, axis=-1)
+
+    packed = chunked_map(per_chunk, new_xyz, chunk)
+    out, start = [], 0
+    for w in widths:
+        out.append(packed[..., start : start + w])
+        start += w
+    return out
+
+
 def group_points(
     xyz: jnp.ndarray,
     features: jnp.ndarray | None,
