@@ -95,7 +95,11 @@ class ConvBN(nn.Module):
 
 
 class SharedMLP(nn.Module):
-    """Stack of ConvBN blocks (reference pt_utils.SharedMLP)."""
+    """Dense(+BN)+ReLU stack (reference pt_utils.SharedMLP) with explicit
+    parameters so the eval path can fold BN into the weights and run the
+    whole stack (+ optional neighborhood max) as ONE fused Pallas kernel
+    (ops.pallas_mlp) — the per-group MLPs are otherwise HBM-bound on the
+    (B, S, K, C) activations."""
 
     features: Sequence[int]
     bn: bool = True
@@ -103,11 +107,70 @@ class SharedMLP(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False, bn_momentum=0.1) -> jnp.ndarray:
-        for f in self.features:
-            x = ConvBN(f, bn=self.bn, kernel_init=self.kernel_init, dtype=self.dtype)(
-                x, train, bn_momentum
-            )
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False, bn_momentum=0.1,
+        reduce_max: bool = False,
+    ) -> jnp.ndarray:
+        """``reduce_max=True`` additionally maxes over axis 2 (the
+        neighborhood axis of a (B, S, K, C) input)."""
+        eps = 1e-5
+        cin = x.shape[-1]
+        layers = []
+        for i, f in enumerate(self.features):
+            w = self.param(f"w{i}", self.kernel_init, (cin, f))
+            if self.bn:
+                scale = self.param(f"bn{i}_scale", nn.initializers.ones, (f,))
+                bias = self.param(f"bn{i}_bias", nn.initializers.zeros, (f,))
+                mean_v = self.variable("batch_stats", f"bn{i}_mean",
+                                       nn.initializers.zeros, None, (f,))
+                var_v = self.variable("batch_stats", f"bn{i}_var",
+                                      nn.initializers.ones, None, (f,))
+                layers.append((w, None, scale, bias, mean_v, var_v))
+            else:
+                b = self.param(f"b{i}", nn.initializers.zeros, (f,))
+                layers.append((w, b, None, None, None, None))
+            cin = f
+
+        dt = self.dtype or x.dtype
+
+        if reduce_max and not train:
+            # fold BN (running stats) into (W, b) and run fused
+            from pointrcnn_tpu.ops.pallas_mlp import fused_mlp_max
+
+            ws, bs = [], []
+            for w, b, scale, bias, mean_v, var_v in layers:
+                if self.bn:
+                    inv = scale * jax.lax.rsqrt(var_v.value + eps)
+                    ws.append(w * inv[None, :])
+                    bs.append(bias - mean_v.value * inv)
+                else:
+                    ws.append(w)
+                    bs.append(b)
+            return fused_mlp_max(x, ws, bs, compute_dtype=dt)
+
+        for w, b, scale, bias, mean_v, var_v in layers:
+            y = jnp.dot(x.astype(dt), w.astype(dt), preferred_element_type=jnp.float32)
+            if self.bn:
+                if train:
+                    axes = tuple(range(y.ndim - 1))
+                    mean = jnp.mean(y, axis=axes)
+                    mean2 = jnp.mean(jnp.square(y), axis=axes)
+                    var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+                    if not self.is_initializing():
+                        n = 1
+                        for d in y.shape[:-1]:
+                            n *= d
+                        m = jnp.asarray(bn_momentum, jnp.float32)
+                        mean_v.value = (1 - m) * mean_v.value + m * mean
+                        var_v.value = (1 - m) * var_v.value + m * var * (n / max(n - 1, 1))
+                else:
+                    mean, var = mean_v.value, var_v.value
+                y = (y - mean) * (jax.lax.rsqrt(var + eps) * scale) + bias
+            else:
+                y = y + b
+            x = nn.relu(y)
+        if reduce_max:
+            x = jnp.max(x, axis=2)
         return x
 
 

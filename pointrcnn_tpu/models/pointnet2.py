@@ -51,11 +51,12 @@ class SetAbstractionMSG(nn.Module):
         )
         outs = []
         for idx, mlp in zip(idx_list, self.mlps):
-            grouped = group_points(xyz, features, new_xyz, idx, self.use_xyz)
+            grouped = group_points(xyz, features, new_xyz, idx, self.use_xyz,
+                                   out_dtype=self.dtype)
             feat = SharedMLP(tuple(mlp), bn=self.bn, dtype=self.dtype)(
-                grouped, train, bn_momentum
+                grouped, train, bn_momentum, reduce_max=True
             )
-            outs.append(jnp.max(feat, axis=2))
+            outs.append(feat)
         return new_xyz, jnp.concatenate(outs, axis=-1)
 
 
@@ -78,7 +79,8 @@ class SetAbstraction(nn.Module):
             fps_idx = furthest_point_sample(xyz, self.npoint)
             new_xyz = gather_points(xyz, fps_idx)
             idx = ball_query(xyz, new_xyz, self.radius, self.nsample, chunk=self.ball_chunk)
-            grouped = group_points(xyz, features, new_xyz, idx, self.use_xyz)
+            grouped = group_points(xyz, features, new_xyz, idx, self.use_xyz,
+                                   out_dtype=self.dtype)
         else:
             # group-all: a single neighborhood containing every point
             new_xyz = jnp.zeros((xyz.shape[0], 1, 3), xyz.dtype)
@@ -88,9 +90,9 @@ class SetAbstraction(nn.Module):
                     else features[:, None, :, :]
             grouped = g
         feat = SharedMLP(tuple(self.mlp), bn=self.bn, dtype=self.dtype)(
-            grouped, train, bn_momentum
+            grouped, train, bn_momentum, reduce_max=True
         )
-        return new_xyz, jnp.max(feat, axis=2)
+        return new_xyz, feat
 
 
 class FeaturePropagation(nn.Module):

@@ -121,20 +121,26 @@ def group_points(
     new_xyz: jnp.ndarray,
     idx: jnp.ndarray,
     use_xyz: bool = True,
+    out_dtype: jnp.dtype | None = None,
 ) -> jnp.ndarray:
     """Gather neighborhoods and localize coordinates.
 
     :param xyz: (B, N, 3); features: (B, N, C) or None; new_xyz: (B, S, 3)
     :param idx: (B, S, nsample)
+    :param out_dtype: output dtype — bf16 halves the HBM traffic of the
+        (B, S, K, C) neighborhood tensor, the dominant cost of every SA
+        stage.  The centroid subtraction stays f32; relative coordinates are
+        bounded by the ball radius, so the bf16 cast costs <0.5% of radius.
     :return: (B, S, nsample, 3+C) — relative xyz concatenated with features
         (QueryAndGroup semantics from the reference pointnet2 lib).
     """
-    grouped_xyz = gather_points(xyz, idx, exact=True) - new_xyz[:, :, None, :]
+    dt = out_dtype or xyz.dtype
+    grouped_xyz = (gather_points(xyz, idx, exact=True) - new_xyz[:, :, None, :]).astype(dt)
     if features is None:
         return grouped_xyz
     # features may take the fast bf16 one-hot gather path on TPU — they feed
     # (bf16) MLPs, so the rounding is free; geometry stays exact above
-    grouped_feats = gather_points(features, idx, exact=False)
+    grouped_feats = gather_points(features, idx, exact=False).astype(dt)
     if use_xyz:
         return jnp.concatenate([grouped_xyz, grouped_feats], axis=-1)
     return grouped_feats
