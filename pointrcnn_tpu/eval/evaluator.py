@@ -133,8 +133,17 @@ def build_joint_eval_step(model, cfg, with_gt: bool):
     return jax.jit(step)
 
 
+def _put(batch_arrays, mesh):
+    if mesh is None:
+        return batch_arrays
+    from pointrcnn_tpu.parallel.mesh import shard_batch
+
+    return shard_batch(batch_arrays, mesh)
+
+
 def eval_one_epoch_joint(model, variables, cfg, loader, result_dir,
-                         logger=None, test_mode=False, save_result=False):
+                         logger=None, test_mode=False, save_result=False,
+                         mesh=None):
     logger = logger or logging.getLogger(__name__)
     dataset = loader.dataset
     final_output_dir = os.path.join(result_dir, "final_result", "data")
@@ -156,10 +165,13 @@ def eval_one_epoch_joint(model, variables, cfg, loader, result_dir,
     final_total = 0
 
     for batch in loader:
-        pts_input = jnp.asarray(batch["pts_input"])
+        dev = _put(
+            {k: batch[k] for k in ("pts_input", "gt_boxes3d", "gt_valid") if k in batch},
+            mesh,
+        )
+        pts_input = dev["pts_input"]
         if with_gt and "gt_boxes3d" in batch:
-            out = step(variables, pts_input,
-                       jnp.asarray(batch["gt_boxes3d"]), jnp.asarray(batch["gt_valid"]))
+            out = step(variables, pts_input, dev["gt_boxes3d"], dev["gt_valid"])
         else:
             out = step(variables, pts_input)
         out = jax.device_get(out)
@@ -265,7 +277,8 @@ def build_rpn_eval_step(model, cfg, with_gt: bool):
 
 
 def eval_one_epoch_rpn(model, variables, cfg, loader, result_dir,
-                       logger=None, test_mode=False, save_rpn_feature=False):
+                       logger=None, test_mode=False, save_rpn_feature=False,
+                       mesh=None):
     logger = logger or logging.getLogger(__name__)
     dataset = loader.dataset
     rpn_output_dir = os.path.join(result_dir, "rpn_result", "data")
@@ -284,9 +297,12 @@ def eval_one_epoch_rpn(model, variables, cfg, loader, result_dir,
     seg_correct = seg_union = 0.0
 
     for batch in loader:
-        pts_input = jnp.asarray(batch["pts_input"])
+        dev = _put(
+            {k: batch[k] for k in ("pts_input", "gt_boxes3d") if k in batch}, mesh
+        )
+        pts_input = dev["pts_input"]
         if with_gt and "gt_boxes3d" in batch:
-            out = step(variables, pts_input, jnp.asarray(batch["gt_boxes3d"]))
+            out = step(variables, pts_input, dev["gt_boxes3d"])
         else:
             out = step(variables, pts_input)
         out = jax.device_get(out)

@@ -77,6 +77,15 @@ def eval_ckpt(args, cfg, ckpt_path, logger):
     )
     loader = DataLoader(dataset, batch_size=args.batch_size, num_workers=args.workers)
 
+    from pointrcnn_tpu.parallel.mesh import make_mesh
+
+    n_dev = len(jax.devices())
+    while n_dev > 1 and args.batch_size % n_dev != 0:
+        n_dev -= 1
+    mesh = make_mesh(n_dev) if n_dev > 1 else None
+    if mesh is not None:
+        logger.info("data-parallel eval over %d devices", n_dev)
+
     model = PointRCNN(cfg=cfg, mode="TEST")
     batch = dataset.collate_batch(
         [dataset.getitem(i, np.random.RandomState(i)) for i in range(min(args.batch_size, len(dataset)))]
@@ -87,6 +96,10 @@ def eval_ckpt(args, cfg, ckpt_path, logger):
     state = create_train_state(model, cfg, sample, tx)
     state, epoch, _ = load_checkpoint(ckpt_path, state)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
+    if mesh is not None:
+        from pointrcnn_tpu.parallel.mesh import replicated
+
+        variables = jax.device_put(variables, replicated(mesh))
 
     out_root = args.output_dir or os.path.join(
         os.path.dirname(os.path.dirname(ckpt_path)), "eval", f"epoch_{epoch}", split
@@ -97,12 +110,13 @@ def eval_ckpt(args, cfg, ckpt_path, logger):
         ret, _ = eval_one_epoch_rpn(
             model, variables, cfg, loader, out_root, logger,
             test_mode=args.test, save_rpn_feature=args.save_rpn_feature,
+            mesh=mesh,
         )
         return ret
 
     ret, final_dir = eval_one_epoch_joint(
         model, variables, cfg, loader, out_root, logger,
-        test_mode=args.test, save_result=args.save_result,
+        test_mode=args.test, save_result=args.save_result, mesh=mesh,
     )
     if not args.test:
         split_file = os.path.join(args.data_root, "KITTI", "ImageSets", f"{split}.txt")
