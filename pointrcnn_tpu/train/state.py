@@ -28,13 +28,14 @@ class TrainState:
     opt_state: Any
 
 
-def create_train_state(model, cfg, sample_batch, tx, seed: int = 0) -> TrainState:
+def create_train_state(model, cfg, sample_batch, tx, seed: int = 0,
+                       train: bool = True) -> TrainState:
     rngs = {
         "params": jax.random.PRNGKey(seed),
         "dropout": jax.random.PRNGKey(seed + 1),
         "target": jax.random.PRNGKey(seed + 2),
     }
-    variables = jax.jit(model.init, static_argnames="train")(rngs, sample_batch, train=True)
+    variables = jax.jit(model.init, static_argnames="train")(rngs, sample_batch, train=train)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     return TrainState(
