@@ -761,10 +761,19 @@ class KittiRCNNDataset(KittiDataset):
                 out[key] = np.concatenate(vals, axis=0)
                 continue
             if key in ("gt_boxes3d", "roi_boxes3d"):
-                padded = np.zeros((len(batch), max_gt, 7), np.float32)
-                valid = np.zeros((len(batch), max_gt), bool)
+                # rois loaded from proposal files can be up to the post-NMS
+                # budget; gt boxes cap at MAX_GT_BOXES
+                width = max_gt
+                if key == "roi_boxes3d":
+                    budget = (
+                        cfg.TRAIN.RPN_POST_NMS_TOP_N
+                        if self.mode == "TRAIN" else cfg.TEST.RPN_POST_NMS_TOP_N
+                    )
+                    width = max(max_gt, budget)
+                padded = np.zeros((len(batch), width, 7), np.float32)
+                valid = np.zeros((len(batch), width), bool)
                 for i, v in enumerate(vals):
-                    n = min(len(v), max_gt)
+                    n = min(len(v), width)
                     padded[i, :n] = v[:n]
                     valid[i, :n] = True
                 out[key] = padded

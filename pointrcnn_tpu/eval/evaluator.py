@@ -240,6 +240,126 @@ def eval_one_epoch_joint(model, variables, cfg, loader, result_dir,
     return ret, final_output_dir
 
 
+def build_rcnn_offline_eval_step(model, cfg, with_gt: bool):
+    """Jitted RCNN-only eval step over saved RPN proposals + features
+    (reference eval_one_epoch_rcnn, eval_rcnn.py:256-456)."""
+    from pointrcnn_tpu.models.point_rcnn import canonical_transform
+    from pointrcnn_tpu.ops.roipool3d import roipool3d
+
+    def step(variables, rpn_xyz, rpn_features, rpn_intensity, seg_mask,
+             pts_depth, rois, roi_valid, roi_scores, gt_boxes3d=None):
+        B, M = rois.shape[0], rois.shape[1]
+        extra = [seg_mask[..., None]]
+        if cfg.RCNN.USE_INTENSITY:
+            extra.insert(0, rpn_intensity[..., None])
+        if cfg.RCNN.USE_DEPTH:
+            extra.append((pts_depth / 70.0 - 0.5)[..., None])
+        pts_feature = jnp.concatenate(extra + [rpn_features], axis=-1)
+        pooled, empty = roipool3d(
+            rpn_xyz, pts_feature, rois, cfg.RCNN.POOL_EXTRA_WIDTH, cfg.RCNN.NUM_POINTS
+        )
+        pooled = pooled.at[..., 0:3].set(canonical_transform(pooled[..., 0:3], rois))
+        pts_input = pooled.reshape(B * M, cfg.RCNN.NUM_POINTS, -1)
+        out = model.apply(variables, {"pts_input": pts_input}, train=False)
+
+        rcnn_reg = out["rcnn_reg"].reshape(B, M, -1)
+        rcnn_cls = out["rcnn_cls"].reshape(B, M)
+        pred_boxes3d = decode_bbox_target(
+            rois.reshape(-1, 7), rcnn_reg.reshape(B * M, -1),
+            anchor_size=jnp.asarray(cfg.CLS_MEAN_SIZE[0]),
+            loc_scope=cfg.RCNN.LOC_SCOPE, loc_bin_size=cfg.RCNN.LOC_BIN_SIZE,
+            num_head_bin=cfg.RCNN.NUM_HEAD_BIN,
+            get_xz_fine=True, get_y_by_bin=cfg.RCNN.LOC_Y_BY_BIN,
+            loc_y_scope=cfg.RCNN.LOC_Y_SCOPE, loc_y_bin_size=cfg.RCNN.LOC_Y_BIN_SIZE,
+            get_ry_fine=True,
+        ).reshape(B, M, 7)
+
+        norm_scores = jax.nn.sigmoid(rcnn_cls)
+        keep_score = (norm_scores > cfg.RCNN.SCORE_THRESH) & roi_valid
+
+        def final_nms(boxes, scores, valid):
+            bev = boxes3d_to_bev(boxes)
+            return nms_bev(bev, scores, thresh=cfg.RCNN.NMS_THRESH, pre_max=M,
+                           post_max=M, rotated=True, valid=valid)
+
+        sel_idx, sel_valid = jax.vmap(final_nms)(pred_boxes3d, rcnn_cls, keep_score)
+        result = {
+            "pred_boxes3d": pred_boxes3d,
+            "raw_scores": rcnn_cls,
+            "norm_scores": norm_scores,
+            "sel_idx": sel_idx,
+            "sel_valid": sel_valid,
+        }
+        if with_gt and gt_boxes3d is not None:
+            def gt_iou(pred, gt):
+                return jnp.max(boxes_iou3d(pred, gt), axis=0)
+
+            result["gt_max_iou"] = jax.vmap(gt_iou)(pred_boxes3d, gt_boxes3d)
+        return result
+
+    return jax.jit(step)
+
+
+def eval_one_epoch_rcnn_offline(model, variables, cfg, loader, result_dir,
+                                logger=None, test_mode=False, mesh=None):
+    """RCNN refinement over saved proposals (reference eval_rcnn.py:256-456)."""
+    logger = logger or logging.getLogger(__name__)
+    dataset = loader.dataset
+    final_output_dir = os.path.join(result_dir, "final_result", "data")
+    os.makedirs(final_output_dir, exist_ok=True)
+
+    with_gt = not test_mode
+    step = build_rcnn_offline_eval_step(model, cfg, with_gt)
+    total_recalled = np.zeros(len(THRESH_LIST), np.int64)
+    total_gt = 0
+
+    for batch in loader:
+        keys = ["rpn_xyz", "rpn_features", "rpn_intensity", "seg_mask",
+                "pts_depth", "roi_boxes3d", "roi_valid", "roi_scores"]
+        dev = _put({k: batch[k] for k in keys if k in batch}, mesh)
+        args = [dev[k] for k in keys if k != "roi_scores"]
+        args.append(dev.get("roi_scores", jnp.zeros(dev["roi_valid"].shape)))
+        if with_gt and "gt_boxes3d" in batch:
+            out = step(variables, *args, jnp.asarray(batch["gt_boxes3d"]))
+        else:
+            out = step(variables, *args)
+        out = jax.device_get(out)
+
+        B = batch["rpn_xyz"].shape[0]
+        if with_gt and "gt_max_iou" in out:
+            for k in range(B):
+                v = batch["gt_valid"][k]
+                if v.sum() == 0:
+                    continue
+                gmi = out["gt_max_iou"][k][v]
+                for i, th in enumerate(THRESH_LIST):
+                    total_recalled[i] += int((gmi > th).sum())
+                total_gt += int(v.sum())
+
+        for k in range(B):
+            sel = out["sel_idx"][k][out["sel_valid"][k]]
+            if sel.size == 0:
+                continue
+            sample_id = int(batch["sample_id"][k])
+            calib = dataset.get_calib(sample_id)
+            img_shape = dataset.get_image_shape(sample_id)
+            save_kitti_format(
+                sample_id, calib, out["pred_boxes3d"][k][sel], final_output_dir,
+                out["raw_scores"][k][sel], img_shape, class_name=cfg.CLASSES,
+            )
+
+    for s in dataset.image_idx_list:
+        path = os.path.join(final_output_dir, "%06d.txt" % int(s))
+        if not os.path.exists(path):
+            open(path, "w").close()
+
+    ret = {"total_gt_bbox": max(total_gt, 1)}
+    for i, th in enumerate(THRESH_LIST):
+        ret[f"recall_{th}"] = total_recalled[i] / max(total_gt, 1)
+        logger.info("rcnn recall@%.1f: %.4f", th, ret[f"recall_{th}"])
+    return ret, final_output_dir
+
+
 def build_rpn_eval_step(model, cfg, with_gt: bool):
     """Jitted RPN-only eval step (reference eval_one_epoch_rpn,
     eval_rcnn.py:113-253)."""

@@ -87,3 +87,35 @@ def test_offline_rcnn_sampling_and_train_step(prepared):
     state, tb = step(state, device_batch, jax.random.PRNGKey(0), 0.1)
     assert np.isfinite(float(tb["loss"]))
     assert "rcnn_loss_cls" in tb
+
+
+def test_offline_rcnn_eval(prepared, tmp_path):
+    """Offline RCNN eval: saved proposals/features -> refine -> KITTI files."""
+    import jax.numpy as jnp
+    from pointrcnn_tpu.eval.evaluator import eval_one_epoch_rcnn_offline
+
+    root, result_dir = prepared
+    cfg = offline_cfg()
+    roi_dir = os.path.join(result_dir, "rpn_result", "data")
+    feat_dir = os.path.join(result_dir, "features")
+
+    ds = KittiRCNNDataset(
+        root, cfg, npoints=512, split="val", mode="EVAL",
+        rcnn_eval_roi_dir=roi_dir, rcnn_eval_feature_dir=feat_dir,
+    )
+    loader = DataLoader(ds, batch_size=3)
+    model = PointRCNN(cfg=cfg, mode="TEST")
+    from pointrcnn_tpu.models.rcnn import rcnn_input_channels
+
+    in_ch = rcnn_input_channels(cfg) + 16  # tiny rpn feature width
+    sample = {"pts_input": np.zeros((1, cfg.RCNN.NUM_POINTS, in_ch), np.float32)}
+    tx = build_optimizer(cfg, total_steps=5, steps_per_epoch=1)
+    state = create_train_state(model, cfg, sample, tx, train=False)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    out_dir = str(tmp_path / "offline_eval")
+    ret, final_dir = eval_one_epoch_rcnn_offline(
+        model, variables, cfg, loader, out_dir
+    )
+    assert "recall_0.5" in ret
+    assert len(os.listdir(final_dir)) == 3

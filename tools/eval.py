@@ -24,7 +24,10 @@ import numpy as np
 def parse_args():
     p = argparse.ArgumentParser(description="PointRCNN-TPU evaluator")
     p.add_argument("--cfg_file", type=str, default="cfgs/default.yaml")
-    p.add_argument("--eval_mode", type=str, required=True, choices=["rpn", "rcnn"])
+    p.add_argument("--eval_mode", type=str, required=True,
+                   choices=["rpn", "rcnn", "rcnn_offline"])
+    p.add_argument("--rcnn_eval_roi_dir", type=str, default=None)
+    p.add_argument("--rcnn_eval_feature_dir", type=str, default=None)
     p.add_argument("--ckpt", type=str, default=None)
     p.add_argument("--eval_all", action="store_true")
     p.add_argument("--wait", action="store_true",
@@ -61,7 +64,11 @@ def eval_ckpt(args, cfg, ckpt_path, logger):
     import jax
     from pointrcnn_tpu.data.loader import DataLoader
     from pointrcnn_tpu.data.rpn_dataset import KittiRCNNDataset
-    from pointrcnn_tpu.eval.evaluator import eval_one_epoch_joint, eval_one_epoch_rpn
+    from pointrcnn_tpu.eval.evaluator import (
+        eval_one_epoch_joint,
+        eval_one_epoch_rcnn_offline,
+        eval_one_epoch_rpn,
+    )
     from pointrcnn_tpu.eval.kitti_eval import evaluate
     from pointrcnn_tpu.models.point_rcnn import PointRCNN
     from pointrcnn_tpu.train.checkpoint import load_checkpoint
@@ -74,6 +81,8 @@ def eval_ckpt(args, cfg, ckpt_path, logger):
     dataset = KittiRCNNDataset(
         args.data_root, cfg, npoints=cfg.RPN.NUM_POINTS, split=split, mode=mode,
         classes=cfg.CLASSES, logger=logger, random_select=True,
+        rcnn_eval_roi_dir=args.rcnn_eval_roi_dir,
+        rcnn_eval_feature_dir=args.rcnn_eval_feature_dir,
     )
     loader = DataLoader(dataset, batch_size=args.batch_size, num_workers=args.workers)
 
@@ -87,13 +96,21 @@ def eval_ckpt(args, cfg, ckpt_path, logger):
         logger.info("data-parallel eval over %d devices", n_dev)
 
     model = PointRCNN(cfg=cfg, mode="TEST")
-    batch = dataset.collate_batch(
-        [dataset.getitem(i, np.random.RandomState(i)) for i in range(min(args.batch_size, len(dataset)))]
-    )
-    sample = {k: v for k, v in batch.items()
-              if isinstance(v, np.ndarray) and v.dtype != object}
+    if args.eval_mode == "rcnn_offline":
+        from pointrcnn_tpu.models.rcnn import rcnn_input_channels
+
+        in_ch = rcnn_input_channels(cfg) + 128  # + rpn feature width
+        sample = {
+            "pts_input": np.zeros((1, cfg.RCNN.NUM_POINTS, in_ch), np.float32)
+        }
+    else:
+        batch = dataset.collate_batch(
+            [dataset.getitem(i, np.random.RandomState(i)) for i in range(min(args.batch_size, len(dataset)))]
+        )
+        sample = {k: v for k, v in batch.items()
+                  if isinstance(v, np.ndarray) and v.dtype != object}
     tx = build_optimizer(cfg, total_steps=1, steps_per_epoch=1)
-    state = create_train_state(model, cfg, sample, tx)
+    state = create_train_state(model, cfg, sample, tx, train=False)
     state, epoch, _ = load_checkpoint(ckpt_path, state)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     if mesh is not None:
@@ -105,6 +122,19 @@ def eval_ckpt(args, cfg, ckpt_path, logger):
         os.path.dirname(os.path.dirname(ckpt_path)), "eval", f"epoch_{epoch}", split
     )
     os.makedirs(out_root, exist_ok=True)
+
+    if args.eval_mode == "rcnn_offline":
+        ret, final_dir = eval_one_epoch_rcnn_offline(
+            model, variables, cfg, loader, out_root, logger,
+            test_mode=args.test, mesh=mesh,
+        )
+        if not args.test:
+            split_file = os.path.join(args.data_root, "KITTI", "ImageSets", f"{split}.txt")
+            label_dir = os.path.join(args.data_root, "KITTI", "object", "training", "label_2")
+            result_str, ap = evaluate(label_dir, final_dir, split_file, current_classes=(0,))
+            logger.info("\n%s", result_str)
+            ret.update(ap)
+        return ret
 
     if args.eval_mode == "rpn":
         ret, _ = eval_one_epoch_rpn(
@@ -133,8 +163,16 @@ def main():
     from pointrcnn_tpu.train.checkpoint import list_checkpoints
 
     cfg = load_config(args.cfg_file, args.set_cfgs)
-    overrides = ["RPN.ENABLED", "True"]
-    overrides += ["RCNN.ENABLED", "True" if args.eval_mode == "rcnn" else "False"]
+    if args.eval_mode == "rcnn_offline":
+        overrides = ["RPN.ENABLED", "False", "RCNN.ENABLED", "True",
+                     "RCNN.ROI_SAMPLE_JIT", "False"]
+        assert args.rcnn_eval_roi_dir and args.rcnn_eval_feature_dir, (
+            "rcnn_offline eval requires --rcnn_eval_roi_dir and "
+            "--rcnn_eval_feature_dir"
+        )
+    else:
+        overrides = ["RPN.ENABLED", "True"]
+        overrides += ["RCNN.ENABLED", "True" if args.eval_mode == "rcnn" else "False"]
     cfg = merge_from_list(cfg, overrides)
 
     tag = os.path.splitext(os.path.basename(args.cfg_file))[0]
