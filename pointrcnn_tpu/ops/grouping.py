@@ -184,5 +184,8 @@ def three_interpolate(
     """
     recip = 1.0 / (dist + 1e-8)
     weight = recip / jnp.sum(recip, axis=-1, keepdims=True)  # (B, n, 3)
+    if jax.default_backend() in ("tpu", "axon"):
+        # halve the gather traffic; interpolated features feed bf16 MLPs
+        features = features.astype(jnp.bfloat16)
     neighbors = gather_points(features, idx, exact=False)  # (B, n, 3, C)
-    return jnp.sum(neighbors * weight[..., None], axis=2)
+    return jnp.sum(neighbors.astype(jnp.float32) * weight[..., None], axis=2)
