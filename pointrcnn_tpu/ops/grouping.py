@@ -152,6 +152,11 @@ def three_nn(unknown: jnp.ndarray, known: jnp.ndarray, chunk: int = 2048):
     :param unknown: (B, n, 3); known: (B, m, 3)
     :return: (dist, idx) both (B, n, 3) — euclidean distances and indices.
     """
+    from pointrcnn_tpu.ops.pallas_knn import three_nn_pallas, three_nn_pallas_supported
+
+    if three_nn_pallas_supported(unknown.shape[1], known.shape[1]):
+        return three_nn_pallas(unknown, known)
+
     def per_chunk(uc):  # (B, C, 3) -> (B, C, 6) packed [d3 | i3]
         # three iterative min-extractions — exact, and much cheaper on TPU
         # than the sort a top_k(k=3) lowers to
