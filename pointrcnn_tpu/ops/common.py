@@ -12,6 +12,12 @@ def square_distance(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     ``a``: (..., S, 3), ``b``: (..., N, 3) -> (..., S, N).
     Computed as |a|^2 + |b|^2 - 2 a.b so the inner product lands on the MXU.
     """
+    # center first: |a|^2 + |b|^2 - 2ab cancels catastrophically in f32 at
+    # scene-scale coordinates (~1e-2 m error at |x| ~ 70 m); distances are
+    # translation-invariant, so subtract a common centroid
+    center = jnp.mean(b, axis=-2, keepdims=True)
+    a = a - center
+    b = b - center
     a2 = jnp.sum(a * a, axis=-1)[..., :, None]
     b2 = jnp.sum(b * b, axis=-1)[..., None, :]
     # geometry needs full f32 — the TPU default matmul precision is bf16,

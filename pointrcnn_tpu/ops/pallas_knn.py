@@ -27,11 +27,12 @@ def _knn_kernel(u_ref, kt_ref, out_ref, d2_scratch):
     kt = kt_ref[0]  # (3, m)
     m = kt.shape[1]
 
-    u_sq = jnp.sum(jnp.square(u), axis=1, keepdims=True)  # (CHUNK, 1)
-    k_sq = jnp.sum(jnp.square(kt), axis=0, keepdims=True)  # (1, m)
-    cross = jnp.dot(u, kt, preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
-    d2_scratch[...] = jnp.maximum(u_sq + k_sq - 2.0 * cross, 0.0)
+    # direct coordinate differences: the |u|^2+|k|^2-2uk matmul form loses
+    # ~1e-2 m to f32 cancellation at scene-scale coordinates
+    d2 = jnp.square(u[:, 0:1] - kt[0:1, :])
+    d2 = d2 + jnp.square(u[:, 1:2] - kt[1:2, :])
+    d2 = d2 + jnp.square(u[:, 2:3] - kt[2:3, :])
+    d2_scratch[...] = d2
 
     col = jax.lax.broadcasted_iota(jnp.int32, (u.shape[0], m), 1)
     outs = []

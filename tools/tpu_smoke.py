@@ -70,6 +70,18 @@ def main():
         bad += int((((d2 > 1.0 + 1e-4).any(1)) & (hits > 0)).sum())
     check("approx ball query in-radius", bad == 0, f"{bad} bad rows")
 
+    # 3b) Pallas 3-NN vs exact iterative extraction
+    from pointrcnn_tpu.ops.pallas_knn import three_nn_pallas
+
+    known = pts[:, :4096]
+    d_p, i_p = jax.device_get(three_nn_pallas(pts, known))
+    d2 = np.sum(
+        (jax.device_get(pts)[:, :, None] - jax.device_get(known)[:, None]) ** 2, -1
+    )
+    want_d = np.sqrt(np.sort(d2, axis=2)[:, :, :3])
+    check("pallas 3nn dists", np.abs(np.sort(d_p, 2) - want_d).max() < 1e-2,
+          f"max err {np.abs(np.sort(d_p, 2) - want_d).max():.4f}")
+
     # 4) roipool approx selection: pooled points inside enlarged boxes
     feats = jnp.asarray(rng.randn(2, 16384, 4).astype(np.float32))
     rois = jnp.zeros((2, 8, 7), jnp.float32).at[..., 3:6].set(4.0).at[..., 2].set(30.0)
