@@ -57,6 +57,14 @@ def main():
     dt = time.perf_counter() - t0
 
     fps = BATCH * ITERS / dt
+    import sys
+
+    print(
+        "note: vs_baseline anchors to an ASSUMED 10 fps for the reference "
+        "implementation (it publishes no throughput numbers; 10 fps is a "
+        "representative full-eval-loop rate on its era 1080Ti-class GPU)",
+        file=sys.stderr,
+    )
     print(
         json.dumps(
             {

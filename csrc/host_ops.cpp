@@ -15,21 +15,38 @@
 
 namespace {
 
-inline bool pt_in_box3d(float x, float y, float z, const float* box) {
+// Per-box constants hoisted out of the point loop.
+struct BoxFrame {
+    float cx, cy, cz, hh, hw, hl, cosa, sina, gate;
+};
+
+inline BoxFrame make_box_frame(const float* box) {
     // box: [cx, bottom_y, cz, h, w, l, ry]; semantics match
-    // pt_in_box3d (roipool3d_kernel.cu:14-28) incl. the 10 m pre-gate
-    const float cx = box[0], cz = box[2];
+    // pt_in_box3d (roipool3d_kernel.cu:14-28) incl. its 10 m pre-gate —
+    // tightened to the box circumradius when that is smaller (points beyond
+    // it cannot be inside the rotated rect, so results are identical).
+    BoxFrame f;
+    f.cx = box[0];
+    f.cz = box[2];
     const float h = box[3], w = box[4], l = box[5], ry = box[6];
-    const float cy = box[1] - h * 0.5f;
-    if (std::fabs(x - cx) > 10.0f || std::fabs(y - cy) > h * 0.5f ||
-        std::fabs(z - cz) > 10.0f)
+    f.cy = box[1] - h * 0.5f;
+    f.hh = h * 0.5f;
+    f.hw = w * 0.5f;
+    f.hl = l * 0.5f;
+    f.cosa = std::cos(ry);
+    f.sina = std::sin(ry);
+    f.gate = std::min(10.0f, std::sqrt(f.hw * f.hw + f.hl * f.hl));
+    return f;
+}
+
+inline bool pt_in_box3d(float x, float y, float z, const BoxFrame& f) {
+    const float dx = x - f.cx, dz = z - f.cz;
+    if (std::fabs(dx) > f.gate || std::fabs(y - f.cy) > f.hh ||
+        std::fabs(dz) > f.gate)
         return false;
-    const float cosa = std::cos(ry), sina = std::sin(ry);
-    const float dx = x - cx, dz = z - cz;
-    const float x_rot = dx * cosa - dz * sina;
-    const float z_rot = dx * sina + dz * cosa;
-    return x_rot >= -l * 0.5f && x_rot <= l * 0.5f && z_rot >= -w * 0.5f &&
-           z_rot <= w * 0.5f;
+    const float x_rot = dx * f.cosa - dz * f.sina;
+    const float z_rot = dx * f.sina + dz * f.cosa;
+    return x_rot >= -f.hl && x_rot <= f.hl && z_rot >= -f.hw && z_rot <= f.hw;
 }
 
 struct Pt {
@@ -48,11 +65,11 @@ extern "C" {
 void points_in_boxes3d(const float* pts, int64_t n, const float* boxes,
                        int64_t m, uint8_t* mask) {
     for (int64_t k = 0; k < m; ++k) {
-        const float* box = boxes + k * 7;
+        const BoxFrame f = make_box_frame(boxes + k * 7);
         uint8_t* row = mask + k * n;
         for (int64_t i = 0; i < n; ++i) {
             const float* p = pts + i * 3;
-            row[i] = pt_in_box3d(p[0], p[1], p[2], box) ? 1 : 0;
+            row[i] = pt_in_box3d(p[0], p[1], p[2], f) ? 1 : 0;
         }
     }
 }
@@ -65,12 +82,12 @@ void roipool3d_cpu(const float* pts, const float* feats, int64_t n, int64_t c,
                    float* pooled, uint8_t* empty) {
     const int64_t stride = 3 + c;
     for (int64_t b = 0; b < m; ++b) {
-        const float* box = boxes + b * 7;
+        const BoxFrame f = make_box_frame(boxes + b * 7);
         float* out = pooled + b * k_samples * stride;
         int64_t cnt = 0;
         for (int64_t i = 0; i < n && cnt < k_samples; ++i) {
             const float* p = pts + i * 3;
-            if (!pt_in_box3d(p[0], p[1], p[2], box)) continue;
+            if (!pt_in_box3d(p[0], p[1], p[2], f)) continue;
             float* dst = out + cnt * stride;
             std::memcpy(dst, p, 3 * sizeof(float));
             std::memcpy(dst + 3, feats + i * c, c * sizeof(float));

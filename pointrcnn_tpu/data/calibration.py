@@ -35,12 +35,15 @@ class Calibration:
         return np.hstack((pts, np.ones((pts.shape[0], 1), dtype=np.float32)))
 
     def lidar_to_rect(self, pts_lidar: np.ndarray) -> np.ndarray:
-        pts_hom = self.cart_to_hom(pts_lidar)
-        return pts_hom @ (self.V2C.T @ self.R0.T)
+        # pts @ (R0 V2C)[:, :3].T + (R0 V2C)[:, 3] — avoids the homogeneous
+        # copy of the full cloud (hot: ~120k pts/scene in loader workers)
+        m = self.R0 @ self.V2C
+        return pts_lidar[:, 0:3] @ m[:, 0:3].T + m[:, 3]
 
     def rect_to_img(self, pts_rect: np.ndarray):
-        pts_hom = self.cart_to_hom(pts_rect)
-        pts_2d = pts_hom @ self.P2.T
+        pts_2d = pts_rect @ self.P2[:, 0:3].T + self.P2[:, 3]
+        # note: divides by rect-frame z, matching the reference
+        # (lib/utils/calibration.py:61-70), not by the projected w
         pts_img = pts_2d[:, 0:2] / pts_rect[:, 2:3]
         pts_depth = pts_2d[:, 2] - self.P2.T[3, 2]
         return pts_img, pts_depth

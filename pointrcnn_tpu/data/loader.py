@@ -9,8 +9,8 @@ of time (double buffering into HBM).
 
 from __future__ import annotations
 
-import queue
-import threading
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -53,36 +53,38 @@ class DataLoader:
         for s in range(0, end, self.batch_size):
             yield order[s : s + self.batch_size]
 
+    def _make_sample(self, idx: int):
+        # Per-sample RNG derived from (seed, epoch, idx) only, so sample
+        # construction is order-independent and safe to run on any worker.
+        rng = np.random.RandomState(
+            (self.seed + 100003 * self.epoch + 31 * int(idx)) % (2**31 - 1)
+        )
+        return self.dataset.getitem(int(idx), rng)
+
     def __iter__(self):
-        batch_indices = list(self._batches())
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
-        stop = threading.Event()
+        batch_iter = self._batches()
+        # Per-sample jobs fan out over num_workers threads (the pipeline is
+        # numpy-heavy and releases the GIL); up to `prefetch` whole batches
+        # are in flight ahead of the consumer, so sample building for batch
+        # k+1..k+prefetch overlaps the device step on batch k.
+        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        pending: deque = deque()
 
-        def make_batch(bi, indices):
-            samples = []
-            for j, idx in enumerate(indices):
-                rng = np.random.RandomState(
-                    (self.seed + 100003 * self.epoch + 31 * int(idx)) % (2**31 - 1)
+        def fill():
+            while len(pending) < self.prefetch + 1:
+                indices = next(batch_iter, None)
+                if indices is None:
+                    return
+                pending.append(
+                    [pool.submit(self._make_sample, int(i)) for i in indices]
                 )
-                samples.append(self.dataset.getitem(int(idx), rng))
-            return self.dataset.collate_batch(samples)
 
-        def producer():
-            try:
-                for bi, indices in enumerate(batch_indices):
-                    if stop.is_set():
-                        break
-                    q.put(make_batch(bi, indices))
-            finally:
-                q.put(None)
-
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
         try:
-            while True:
-                item = q.get()
-                if item is None:
-                    break
-                yield item
+            fill()
+            while pending:
+                futures = pending.popleft()
+                samples = [f.result() for f in futures]
+                fill()
+                yield self.dataset.collate_batch(samples)
         finally:
-            stop.set()
+            pool.shutdown(wait=False, cancel_futures=True)

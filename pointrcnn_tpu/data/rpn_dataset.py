@@ -358,6 +358,7 @@ class KittiRCNNDataset(KittiDataset):
 
         extra_gt_obj_list, extra_gt_boxes3d_list = [], []
         new_pts_list, new_pts_intensity_list = [], []
+        carve_boxes_list: list[np.ndarray] = []
         src_pts_flag = np.ones(pts_rect.shape[0], dtype=bool)
 
         a, b, c, d = self.get_road_plane(sample_id)
@@ -399,11 +400,11 @@ class KittiRCNNDataset(KittiDataset):
                 if iou.max() >= 1e-8:  # collision with existing boxes
                     continue
 
-            # carve out original points occupying the pasted volume
+            # record pasted volume; original points are carved out in one
+            # batched pass after the loop (carve-outs are independent)
             tall = new_box.copy()
             tall[3] += 2.0
-            inside = points_in_boxes3d(pts_rect, tall.reshape(1, 7))[0]
-            src_pts_flag[inside] = False
+            carve_boxes_list.append(tall)
 
             import copy as _copy
 
@@ -421,6 +422,10 @@ class KittiRCNNDataset(KittiDataset):
 
         if not new_pts_list:
             return False, pts_rect, pts_intensity, None, None
+
+        # batched carve-out: one native pass over the cloud for all volumes
+        carve = np.stack(carve_boxes_list).astype(np.float32)
+        src_pts_flag &= ~points_in_boxes3d(pts_rect, carve).any(axis=0)
 
         extra_gt_boxes3d = np.concatenate(extra_gt_boxes3d_list, axis=0)
         pts_rect = np.concatenate([pts_rect[src_pts_flag]] + new_pts_list, axis=0)

@@ -113,16 +113,34 @@ def _roipool3d_numpy(pts, feats, big_boxes, num_sampled):
     return pooled, empty
 
 
+def _bev_rect_polygons(boxes: np.ndarray) -> np.ndarray:
+    """(N, 5) [x1, z1, x2, z2, ry] -> (N, 4, 2) CCW corner rings, rotating
+    each rect about its center (host_ops.cpp:93-106 construction)."""
+    x1, z1, x2, z2, ry = (boxes[:, k] for k in range(5))
+    cx, cz = (x1 + x2) * 0.5, (z1 + z2) * 0.5
+    xs = np.stack([x1, x2, x2, x1], axis=1) - cx[:, None]
+    zs = np.stack([z1, z1, z2, z2], axis=1) - cz[:, None]
+    cosa, sina = np.cos(ry)[:, None], np.sin(ry)[:, None]
+    px = xs * cosa + zs * sina + cx[:, None]
+    pz = -xs * sina + zs * cosa + cz[:, None]
+    return np.stack([px, pz], axis=2)
+
+
 def bev_overlap(boxes_a: np.ndarray, boxes_b: np.ndarray) -> np.ndarray:
     """(N, 5) x (M, 5) rotated BEV overlap areas; native when available."""
     lib = get_lib()
     boxes_a = np.ascontiguousarray(boxes_a, np.float32)
     boxes_b = np.ascontiguousarray(boxes_b, np.float32)
     if lib is None:
-        from pointrcnn_tpu.utils.np_geometry import _bev_polygons, _clip_convex
+        from pointrcnn_tpu.utils.np_geometry import _clip_convex
 
-        # boxes here are rects+angle; convert via polygons directly
-        raise NotImplementedError("numpy fallback: use np_geometry.boxes_iou3d")
+        poly_a = _bev_rect_polygons(boxes_a)
+        poly_b = _bev_rect_polygons(boxes_b)
+        out = np.zeros((boxes_a.shape[0], boxes_b.shape[0]), np.float32)
+        for i in range(boxes_a.shape[0]):
+            for j in range(boxes_b.shape[0]):
+                out[i, j] = _clip_convex(poly_a[i], poly_b[j])
+        return out
     out = np.empty((boxes_a.shape[0], boxes_b.shape[0]), np.float32)
     lib.bev_overlap(boxes_a, boxes_a.shape[0], boxes_b, boxes_b.shape[0], out)
     return out

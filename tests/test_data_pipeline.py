@@ -119,3 +119,32 @@ def test_gt_database_and_paste_aug(kitti_root, tmp_path):
     s = ds.getitem(0, rng)
     # paste-aug should add at least one extra gt box beyond the 2 originals
     assert s["gt_boxes3d"].shape[0] >= 3
+
+
+def test_loader_workers_deterministic(kitti_root):
+    """Multi-worker loading yields the same batches as a single worker:
+    per-sample RNG depends only on (seed, epoch, idx)."""
+    root, _ = kitti_root
+    cfg = cfg_for_data()
+    ds = KittiRCNNDataset(root, cfg, npoints=1024, split="train", mode="TRAIN")
+    one = list(DataLoader(ds, batch_size=2, shuffle=True, seed=7, num_workers=1))
+    four = list(DataLoader(ds, batch_size=2, shuffle=True, seed=7, num_workers=4))
+    assert len(one) == len(four)
+    for a, b in zip(one, four):
+        assert sorted(a.keys()) == sorted(b.keys())
+        for k in a:
+            va, vb = a[k], b[k]
+            if isinstance(va, np.ndarray) and va.dtype != object:
+                np.testing.assert_array_equal(va, vb)
+            else:
+                assert str(va) == str(vb)
+
+
+def test_loader_early_exit_cancels_pending(kitti_root):
+    root, _ = kitti_root
+    cfg = cfg_for_data()
+    ds = KittiRCNNDataset(root, cfg, npoints=1024, split="train", mode="TRAIN")
+    loader = DataLoader(ds, batch_size=1, num_workers=2, prefetch=2)
+    it = iter(loader)
+    next(it)
+    it.close()  # must not hang or raise

@@ -58,3 +58,13 @@ def test_native_bev_overlap_vs_device(lib):
     want = np.asarray(boxes_overlap_bev(jnp.asarray(bev), jnp.asarray(bev)))
     got = native.bev_overlap(bev, bev)
     np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_bev_overlap_numpy_fallback_matches_native(lib, monkeypatch):
+    boxes = random_boxes(16, seed=6)
+    bev = np.asarray(boxes3d_to_bev(jnp.asarray(boxes)))
+    want = native.bev_overlap(bev, bev)
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_tried", True)
+    got = native.bev_overlap(bev, bev)
+    np.testing.assert_allclose(got, want, atol=1e-4)

@@ -178,6 +178,9 @@ def main():
     tag = os.path.splitext(os.path.basename(args.cfg_file))[0]
     log_dir = args.output_dir or os.path.join("output", args.eval_mode, tag)
     logger = create_logger(os.path.join(log_dir, "log_eval.txt"), "eval")
+    from pointrcnn_tpu.utils.snapshot import backup_source
+
+    backup_source(log_dir, logger)
 
     if args.eval_all:
         import time

@@ -104,6 +104,9 @@ def main():
 
     logger = create_logger(os.path.join(root_result_dir, "log_train.txt"), "train")
     logger.info("**** config ****\n%s", format_config(cfg))
+    from pointrcnn_tpu.utils.snapshot import backup_source
+
+    backup_source(root_result_dir, logger)
 
     gt_db = args.gt_database if cfg.GT_AUG_ENABLED and os.path.exists(args.gt_database) else None
     train_set = KittiRCNNDataset(
