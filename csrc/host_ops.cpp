@@ -183,13 +183,159 @@ double bev_pair_overlap(const float* box_a, const float* box_b) {
     return std::fabs(area) * 0.5;
 }
 
-// all-pairs overlap areas: a (N,5), b (M,5) -> out (N,M) f32
+// all-pairs overlap areas: a (N,5), b (M,5) -> out (N,M) f32.
+// Cheap circumradius prefilter: centers farther apart than the sum of the
+// rect circumradii cannot overlap, so the polygon clip is skipped.
 void bev_overlap(const float* boxes_a, int64_t n, const float* boxes_b,
                  int64_t m, float* out) {
-    for (int64_t i = 0; i < n; ++i)
-        for (int64_t j = 0; j < m; ++j)
+    auto center_radius = [](const float* b, double& cx, double& cy, double& r) {
+        cx = (b[0] + b[2]) * 0.5;
+        cy = (b[1] + b[3]) * 0.5;
+        const double hx = (b[2] - b[0]) * 0.5, hy = (b[3] - b[1]) * 0.5;
+        r = std::sqrt(hx * hx + hy * hy);
+    };
+    for (int64_t i = 0; i < n; ++i) {
+        double cax, cay, ra;
+        center_radius(boxes_a + i * 5, cax, cay, ra);
+        for (int64_t j = 0; j < m; ++j) {
+            double cbx, cby, rb;
+            center_radius(boxes_b + j * 5, cbx, cby, rb);
+            const double dx = cax - cbx, dy = cay - cby, rr = ra + rb;
+            if (dx * dx + dy * dy > rr * rr) {
+                out[i * m + j] = 0.0f;
+                continue;
+            }
             out[i * m + j] =
                 (float)bev_pair_overlap(boxes_a + i * 5, boxes_b + j * 5);
+        }
+    }
+}
+
+// ---------------------------------------------------------------- AP kernels
+//
+// Hot loops of the KITTI AP protocol (reference eval.py:155-441, which uses
+// numba JIT + numba.cuda; numba is unavailable here so they live in C++).
+// Semantics are pinned by the pure-Python oracle in
+// pointrcnn_tpu/eval/kitti_eval.py and a protocol-equivalence test.
+// All matrices are double, row-major; overlaps is (ndt, ngt).
+
+// First matching pass: collect scores of true-positive detections for
+// threshold selection. Returns number of scores written to out_scores.
+int64_t ap_match_scores(const double* overlaps, const double* dt_scores,
+                        const int64_t* ignored_gt, const int64_t* ignored_det,
+                        int64_t ndt, int64_t ngt, double min_overlap,
+                        double* out_scores) {
+    constexpr double kNoDetection = -10000000.0;
+    int64_t n_out = 0;
+    bool assigned[4096];
+    if (ndt > 4096) return -1;  // caller guards; KITTI frames are far smaller
+    for (int64_t j = 0; j < ndt; ++j) assigned[j] = false;
+    for (int64_t i = 0; i < ngt; ++i) {
+        if (ignored_gt[i] == -1) continue;
+        int64_t det_idx = -1;
+        double valid_detection = kNoDetection;
+        for (int64_t j = 0; j < ndt; ++j) {
+            if (ignored_det[j] == -1 || assigned[j]) continue;
+            const double ov = overlaps[j * ngt + i];
+            if (ov > min_overlap && dt_scores[j] > valid_detection) {
+                det_idx = j;
+                valid_detection = dt_scores[j];
+            }
+        }
+        if (valid_detection == kNoDetection) continue;
+        if (ignored_gt[i] == 1 || ignored_det[det_idx] == 1) {
+            assigned[det_idx] = true;
+        } else {
+            out_scores[n_out++] = dt_scores[det_idx];
+            assigned[det_idx] = true;
+        }
+    }
+    return n_out;
+}
+
+// Second pass: tp/fp/fn/similarity for every threshold, accumulated into
+// pr (n_thresh, 4) with +=. overlaps_dt_dc is (ndt, ndc) det-vs-DontCare
+// overlap (criterion 0), only consulted when metric == 0 and ndc > 0.
+void ap_compute_pr(const double* overlaps, const double* dt_scores,
+                   const double* dt_alphas, const double* gt_alphas,
+                   const double* overlaps_dt_dc, const int64_t* ignored_gt,
+                   const int64_t* ignored_det, int64_t ndt, int64_t ngt,
+                   int64_t ndc, int64_t metric, double min_overlap,
+                   const double* threshs, int64_t n_thresh,
+                   int64_t compute_aos, double* pr) {
+    constexpr double kNoDetection = -10000000.0;
+    bool assigned[4096];
+    if (ndt > 4096) return;
+    for (int64_t t = 0; t < n_thresh; ++t) {
+        const double thresh = threshs[t];
+        for (int64_t j = 0; j < ndt; ++j) assigned[j] = false;
+        int64_t tp = 0, fp = 0, fn = 0;
+        double similarity = 0.0;
+        for (int64_t i = 0; i < ngt; ++i) {
+            if (ignored_gt[i] == -1) continue;
+            int64_t det_idx = -1;
+            double valid_detection = kNoDetection;
+            double max_overlap = 0.0;
+            bool assigned_ignored_det = false;
+            for (int64_t j = 0; j < ndt; ++j) {
+                if (ignored_det[j] == -1 || assigned[j] ||
+                    dt_scores[j] < thresh)
+                    continue;
+                const double ov = overlaps[j * ngt + i];
+                if (ov > min_overlap &&
+                    (ov > max_overlap || assigned_ignored_det) &&
+                    ignored_det[j] == 0) {
+                    max_overlap = ov;
+                    det_idx = j;
+                    valid_detection = 1.0;
+                    assigned_ignored_det = false;
+                } else if (ov > min_overlap &&
+                           valid_detection == kNoDetection &&
+                           ignored_det[j] == 1) {
+                    det_idx = j;
+                    valid_detection = 1.0;
+                    assigned_ignored_det = true;
+                }
+            }
+            if (valid_detection == kNoDetection && ignored_gt[i] == 0) {
+                ++fn;
+            } else if (valid_detection != kNoDetection &&
+                       (ignored_gt[i] == 1 || ignored_det[det_idx] == 1)) {
+                assigned[det_idx] = true;
+            } else if (valid_detection != kNoDetection) {
+                ++tp;
+                if (compute_aos)
+                    similarity +=
+                        (1.0 + std::cos(gt_alphas[i] - dt_alphas[det_idx])) /
+                        2.0;
+                assigned[det_idx] = true;
+            }
+        }
+        for (int64_t j = 0; j < ndt; ++j) {
+            if (!(assigned[j] || ignored_det[j] == -1 || ignored_det[j] == 1 ||
+                  dt_scores[j] < thresh))
+                ++fp;
+        }
+        if (metric == 0 && ndc > 0) {
+            int64_t nstuff = 0;
+            for (int64_t i = 0; i < ndc; ++i) {
+                for (int64_t j = 0; j < ndt; ++j) {
+                    if (assigned[j] || ignored_det[j] == -1 ||
+                        ignored_det[j] == 1 || dt_scores[j] < thresh)
+                        continue;
+                    if (overlaps_dt_dc[j * ndc + i] > min_overlap) {
+                        assigned[j] = true;
+                        ++nstuff;
+                    }
+                }
+            }
+            fp -= nstuff;
+        }
+        pr[t * 4 + 0] += (double)tp;
+        pr[t * 4 + 1] += (double)fp;
+        pr[t * 4 + 2] += (double)fn;
+        if (compute_aos && (tp > 0 || fp > 0)) pr[t * 4 + 3] += similarity;
+    }
 }
 
 }  // extern "C"

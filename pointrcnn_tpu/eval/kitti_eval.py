@@ -6,10 +6,12 @@ sample thresholds (eval.py:8-25), same clean_data difficulty gates
 (eval.py:28-81), same greedy per-threshold matching with don't-care regions
 (eval.py:155-270), same every-4th-sample / 11 mAP (eval.py:551-555).
 
-Differences in *implementation* only: plain numpy/python (numba is used when
-importable but optional), and the rotated BEV/3D overlap matrices run through
-the host Sutherland-Hodgman clipper in np_geometry (the reference uses a
-numba.cuda kernel, rotate_iou.py:262-329).
+Differences in *implementation* only: the hot loops (rotated-overlap
+matrices and the per-threshold greedy matching) run in the native C++
+library (csrc/host_ops.cpp — the reference uses numba JIT + a numba.cuda
+kernel, eval.py:155 / rotate_iou.py:262-329, but numba is unavailable in
+this image). The pure-Python forms below remain as the no-toolchain
+fallback and as the semantic oracle for the protocol-equivalence tests.
 """
 
 from __future__ import annotations
@@ -19,16 +21,8 @@ import os
 
 import numpy as np
 
+from pointrcnn_tpu.utils import native
 from pointrcnn_tpu.utils.np_geometry import _bev_polygons, _clip_convex
-
-try:  # optional acceleration
-    import numba
-
-    def _maybe_njit(fn):
-        return numba.njit(cache=True)(fn)
-except Exception:  # pragma: no cover - numba absent in this image
-    def _maybe_njit(fn):
-        return fn
 
 
 # ------------------------------------------------------------ annotations
@@ -119,8 +113,21 @@ def _camera_boxes(anno) -> np.ndarray:
     )
 
 
+def _camera_bev_rects(b: np.ndarray) -> np.ndarray:
+    """camera boxes (N, 7)[x,y,z,l,h,w,ry] -> (N, 5) [x1, z1, x2, z2, ry]."""
+    half_l, half_w = b[:, 3] / 2.0, b[:, 5] / 2.0
+    return np.stack(
+        [b[:, 0] - half_l, b[:, 2] - half_w, b[:, 0] + half_l, b[:, 2] + half_w,
+         b[:, 6]],
+        axis=1,
+    ).astype(np.float32)
+
+
 def _rotated_overlap_area(boxes_a: np.ndarray, boxes_b: np.ndarray) -> np.ndarray:
     """BEV intersection areas for camera boxes (N, 7)[x,y,z,l,h,w,ry]."""
+    if len(boxes_a) and len(boxes_b) and native.get_lib() is not None:
+        return native.bev_overlap(_camera_bev_rects(boxes_a), _camera_bev_rects(boxes_b))
+
     def polys(b):
         # to box3d layout [x, y, z, h, w, l, ry] for np_geometry
         b7 = np.stack([b[:, 0], b[:, 1], b[:, 2], b[:, 4], b[:, 5], b[:, 3], b[:, 6]], 1)
@@ -413,6 +420,17 @@ def eval_class(
     recall = np.zeros_like(precision)
     aos = np.zeros_like(precision)
 
+    # det-vs-DontCare overlap matrices (criterion 0) are threshold-, class-
+    # and difficulty-independent; compute once per frame for the image metric
+    dc_overlaps = None
+    if metric == 0:
+        dc_overlaps = []
+        for gt, dt in zip(gt_annos, dt_annos):
+            dc = gt["bbox"][gt["name"] == "DontCare"].reshape(-1, 4)
+            dc_overlaps.append(
+                image_box_overlap(dt["bbox"], dc, 0) if dc.shape[0] else None
+            )
+
     for m, current_class in enumerate(current_classes):
         for l, difficulty in enumerate(difficultys):
             (
@@ -422,18 +440,32 @@ def eval_class(
             for k, min_overlap in enumerate(min_overlaps[:, metric, m]):
                 thresholdss = []
                 for i in range(len(gt_annos)):
-                    _, _, _, _, th = compute_statistics(
-                        overlaps[i], gt_datas_list[i], dt_datas_list[i],
-                        ignored_gts[i], ignored_dets[i], dontcares[i],
-                        metric, min_overlap=min_overlap,
-                        thresh=0.0, compute_fp=False,
+                    th = native.ap_match_scores(
+                        overlaps[i], dt_datas_list[i][:, -1],
+                        ignored_gts[i], ignored_dets[i], min_overlap,
                     )
+                    if th is None:  # no native library: Python oracle path
+                        _, _, _, _, th = compute_statistics(
+                            overlaps[i], gt_datas_list[i], dt_datas_list[i],
+                            ignored_gts[i], ignored_dets[i], dontcares[i],
+                            metric, min_overlap=min_overlap,
+                            thresh=0.0, compute_fp=False,
+                        )
                     thresholdss += th.tolist()
                 if total_num_valid_gt == 0:
                     continue
                 thresholds = get_thresholds(np.array(thresholdss), total_num_valid_gt)
                 pr = np.zeros([len(thresholds), 4])
                 for i in range(len(gt_annos)):
+                    done = native.ap_compute_pr(
+                        overlaps[i], dt_datas_list[i][:, -1],
+                        dt_datas_list[i][:, 4], gt_datas_list[i][:, 4],
+                        dc_overlaps[i] if dc_overlaps is not None else None,
+                        ignored_gts[i], ignored_dets[i], metric, min_overlap,
+                        thresholds, compute_aos, pr,
+                    )
+                    if done:
+                        continue
                     for t, thresh in enumerate(thresholds):
                         tp, fp, fn, similarity, _ = compute_statistics(
                             overlaps[i], gt_datas_list[i], dt_datas_list[i],

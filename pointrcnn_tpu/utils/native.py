@@ -53,11 +53,22 @@ def get_lib():
         except OSError:
             return None
         i64 = ctypes.c_int64
+        f64 = ctypes.c_double
         f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
         u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
         lib.points_in_boxes3d.argtypes = [f32p, i64, f32p, i64, u8p]
         lib.roipool3d_cpu.argtypes = [f32p, f32p, i64, i64, f32p, i64, i64, f32p, u8p]
         lib.bev_overlap.argtypes = [f32p, i64, f32p, i64, f32p]
+        lib.ap_match_scores.argtypes = [
+            f64p, f64p, i64p, i64p, i64, i64, f64, f64p,
+        ]
+        lib.ap_match_scores.restype = i64
+        lib.ap_compute_pr.argtypes = [
+            f64p, f64p, f64p, f64p, f64p, i64p, i64p,
+            i64, i64, i64, i64, f64, f64p, i64, i64, f64p,
+        ]
         _lib = lib
         return _lib
 
@@ -111,6 +122,53 @@ def _roipool3d_numpy(pts, feats, big_boxes, num_sampled):
         pooled[k, :, :3] = pts[idx]
         pooled[k, :, 3:] = feats[idx]
     return pooled, empty
+
+
+_MAX_AP_DETS = 4096  # matches the fixed scratch bound in host_ops.cpp
+
+
+def ap_match_scores(overlaps, dt_scores, ignored_gt, ignored_det, min_overlap):
+    """First AP matching pass: scores of matched true positives, or None if
+    the native library is unavailable (callers fall back to Python)."""
+    lib = get_lib()
+    ndt, ngt = overlaps.shape
+    if lib is None or ndt > _MAX_AP_DETS:
+        return None
+    out = np.empty(ngt, np.float64)
+    n = lib.ap_match_scores(
+        np.ascontiguousarray(overlaps, np.float64),
+        np.ascontiguousarray(dt_scores, np.float64),
+        np.ascontiguousarray(ignored_gt, np.int64),
+        np.ascontiguousarray(ignored_det, np.int64),
+        ndt, ngt, float(min_overlap), out,
+    )
+    return out[:n]
+
+
+def ap_compute_pr(overlaps, dt_scores, dt_alphas, gt_alphas, overlaps_dt_dc,
+                  ignored_gt, ignored_det, metric, min_overlap, threshs,
+                  compute_aos, pr) -> bool:
+    """Second AP pass: accumulate tp/fp/fn/similarity per threshold into
+    ``pr`` (n_thresh, 4). Returns False when native is unavailable."""
+    lib = get_lib()
+    ndt, ngt = overlaps.shape
+    if lib is None or ndt > _MAX_AP_DETS:
+        return False
+    if overlaps_dt_dc is None:
+        overlaps_dt_dc = np.zeros((ndt, 0), np.float64)
+    lib.ap_compute_pr(
+        np.ascontiguousarray(overlaps, np.float64),
+        np.ascontiguousarray(dt_scores, np.float64),
+        np.ascontiguousarray(dt_alphas, np.float64),
+        np.ascontiguousarray(gt_alphas, np.float64),
+        np.ascontiguousarray(overlaps_dt_dc, np.float64),
+        np.ascontiguousarray(ignored_gt, np.int64),
+        np.ascontiguousarray(ignored_det, np.int64),
+        ndt, ngt, overlaps_dt_dc.shape[1], int(metric), float(min_overlap),
+        np.ascontiguousarray(threshs, np.float64), len(threshs),
+        int(bool(compute_aos)), pr,
+    )
+    return True
 
 
 def _bev_rect_polygons(boxes: np.ndarray) -> np.ndarray:

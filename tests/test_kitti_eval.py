@@ -104,3 +104,85 @@ def test_get_thresholds():
     assert th[0] == scores[0]
     # thresholds are descending
     assert np.all(np.diff(th) <= 0)
+
+
+def _random_annos(rng, n_frames=25, max_gt=12, max_dt=14):
+    """Randomized gt/dt anno pairs exercising classes, DontCare, difficulty
+    gates, and sub-threshold scores."""
+    names = ["Car", "Van", "Pedestrian", "Cyclist", "DontCare", "Truck"]
+    gt_annos, dt_annos = [], []
+    for _ in range(n_frames):
+        ng = rng.randint(0, max_gt)
+        nd = rng.randint(0, max_dt)
+
+        def boxes(n, with_score):
+            loc = np.stack([rng.uniform(-20, 20, n), rng.uniform(0, 2, n),
+                            rng.uniform(5, 60, n)], 1)
+            dims = np.stack([rng.uniform(2.5, 4.5, n), rng.uniform(1.2, 1.9, n),
+                             rng.uniform(1.4, 1.9, n)], 1)  # l, h, w
+            x1 = rng.uniform(0, 1100, n); y1 = rng.uniform(0, 300, n)
+            bbox = np.stack([x1, y1, x1 + rng.uniform(20, 140, n),
+                             y1 + rng.uniform(20, 120, n)], 1)
+            d = {
+                "name": np.array([names[rng.randint(0, len(names))] for _ in range(n)]),
+                "truncated": rng.uniform(0, 0.6, n),
+                "occluded": rng.randint(0, 4, n),
+                "alpha": rng.uniform(-np.pi, np.pi, n),
+                "bbox": bbox, "dimensions": dims, "location": loc,
+                "rotation_y": rng.uniform(-np.pi, np.pi, n),
+                "score": rng.uniform(0, 1, n) if with_score else np.full(n, -10.0),
+            }
+            return d
+
+        gt = boxes(ng, False)
+        dt = boxes(nd, True)
+        dt["name"] = np.array(
+            [n for n in dt["name"] if n != "DontCare"] +
+            ["Car"] * int((dt["name"] == "DontCare").sum())
+        )
+        # make some detections overlap some gts so matching paths fire
+        for j in range(min(ng, nd)):
+            if rng.rand() < 0.6:
+                dt["bbox"][j] = gt["bbox"][j] + rng.uniform(-8, 8, 4)
+                dt["location"][j] = gt["location"][j] + rng.uniform(-0.4, 0.4, 3)
+                dt["dimensions"][j] = gt["dimensions"][j] * rng.uniform(0.9, 1.1, 3)
+                dt["rotation_y"][j] = gt["rotation_y"][j] + rng.uniform(-0.2, 0.2)
+        gt_annos.append(gt)
+        dt_annos.append(dt)
+    return gt_annos, dt_annos
+
+
+def test_native_protocol_equivalence(monkeypatch):
+    """The C++ AP kernels reproduce the Python oracle bit-for-bit on
+    randomized annotations, for all 3 metrics (+AOS) and both overlap sets."""
+    from pointrcnn_tpu.utils import native
+
+    if native.get_lib() is None:
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.RandomState(11)
+    gt_annos, dt_annos = _random_annos(rng)
+    min_overlaps = np.stack([
+        np.array([[0.7, 0.5], [0.7, 0.5], [0.7, 0.5]]),
+        np.array([[0.7, 0.5], [0.5, 0.25], [0.5, 0.25]]),
+    ], 0)  # (2, 3, 2 classes)
+
+    results = {}
+    for use_native in (True, False):
+        if not use_native:
+            monkeypatch.setattr(native, "_lib", None)
+            monkeypatch.setattr(native, "_tried", True)
+        for metric in (0, 1, 2):
+            ret = kitti_eval.eval_class(
+                gt_annos, dt_annos, [0, 1], [0, 1, 2], metric, min_overlaps,
+                compute_aos=(metric == 0),
+            )
+            results[(use_native, metric)] = ret
+        monkeypatch.undo()
+
+    for metric in (0, 1, 2):
+        a, b = results[(True, metric)], results[(False, metric)]
+        np.testing.assert_array_equal(a["precision"], b["precision"])
+        np.testing.assert_array_equal(a["recall"], b["recall"])
+        np.testing.assert_array_equal(a["orientation"], b["orientation"])
