@@ -179,6 +179,9 @@ def default_config() -> ConfigNode:
     # O(K^2) suppression matrix; the reference streams up to PRE_NMS_TOP_N
     # boxes through bitmask NMS instead, iou3d_kernel.cu:250-292).
     rpn.NMS_MAX_CANDIDATES = 2048
+    # ball-query neighborhood selection: "approx" (nearest-k PartialReduce)
+    # or "exact" (first-nsample-in-point-order, the CUDA semantics)
+    rpn.BALL_QUERY_METHOD = "approx"
     c.RPN = rpn
 
     rcnn = ConfigNode()
@@ -228,6 +231,10 @@ def default_config() -> ConfigNode:
     rcnn.NMS_THRESH = 0.1
     # TPU-specific: fixed upper bound on gt boxes per scene after padding.
     rcnn.MAX_GT_BOXES = 50
+    rcnn.BALL_QUERY_METHOD = "approx"  # see RPN.BALL_QUERY_METHOD
+    # roi pooling point selection: "auto" (approx first-K on TPU for large N,
+    # exact otherwise), "exact", or "approx"
+    rcnn.ROIPOOL_METHOD = "auto"
     c.RCNN = rcnn
 
     train = ConfigNode()

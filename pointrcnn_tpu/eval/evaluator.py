@@ -256,7 +256,8 @@ def build_rcnn_offline_eval_step(model, cfg, with_gt: bool):
             extra.append((pts_depth / 70.0 - 0.5)[..., None])
         pts_feature = jnp.concatenate(extra + [rpn_features], axis=-1)
         pooled, empty = roipool3d(
-            rpn_xyz, pts_feature, rois, cfg.RCNN.POOL_EXTRA_WIDTH, cfg.RCNN.NUM_POINTS
+            rpn_xyz, pts_feature, rois, cfg.RCNN.POOL_EXTRA_WIDTH, cfg.RCNN.NUM_POINTS,
+            method=getattr(cfg.RCNN, "ROIPOOL_METHOD", "auto"),
         )
         pooled = pooled.at[..., 0:3].set(canonical_transform(pooled[..., 0:3], rois))
         pts_input = pooled.reshape(B * M, cfg.RCNN.NUM_POINTS, -1)

@@ -104,6 +104,7 @@ class PointRCNN(nn.Module):
             pooled, empty = roipool3d(
                 backbone_xyz, pts_feature, rois,
                 cfg.RCNN.POOL_EXTRA_WIDTH, cfg.RCNN.NUM_POINTS,
+                method=getattr(cfg.RCNN, "ROIPOOL_METHOD", "auto"),
             )
             pooled = pooled.at[..., 0:3].set(
                 canonical_transform(pooled[..., 0:3], rois)

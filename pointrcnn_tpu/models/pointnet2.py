@@ -38,6 +38,7 @@ class SetAbstractionMSG(nn.Module):
     bn: bool = True
     ball_chunk: int = 512
     dtype: jnp.dtype | None = None
+    query_method: str = "approx"
 
     @nn.compact
     def __call__(self, xyz, features, train: bool = False, bn_momentum=0.1):
@@ -47,7 +48,8 @@ class SetAbstractionMSG(nn.Module):
         new_xyz = gather_points(xyz, fps_idx)
 
         idx_list = ball_query_multi(
-            xyz, new_xyz, tuple(zip(self.radii, self.nsamples)), chunk=self.ball_chunk
+            xyz, new_xyz, tuple(zip(self.radii, self.nsamples)),
+            chunk=self.ball_chunk, method=self.query_method,
         )
         outs = []
         for idx, mlp in zip(idx_list, self.mlps):
@@ -72,13 +74,15 @@ class SetAbstraction(nn.Module):
     bn: bool = True
     ball_chunk: int = 512
     dtype: jnp.dtype | None = None
+    query_method: str = "approx"
 
     @nn.compact
     def __call__(self, xyz, features, train: bool = False, bn_momentum=0.1):
         if self.npoint is not None:
             fps_idx = furthest_point_sample(xyz, self.npoint)
             new_xyz = gather_points(xyz, fps_idx)
-            idx = ball_query(xyz, new_xyz, self.radius, self.nsample, chunk=self.ball_chunk)
+            idx = ball_query(xyz, new_xyz, self.radius, self.nsample,
+                             chunk=self.ball_chunk, method=self.query_method)
             grouped = group_points(xyz, features, new_xyz, idx, self.use_xyz,
                                    out_dtype=self.dtype)
         else:
@@ -128,6 +132,7 @@ class Pointnet2MSG(nn.Module):
     use_xyz: bool = True
     bn: bool = True
     dtype: jnp.dtype | None = None
+    query_method: str = "approx"
 
     @nn.compact
     def __call__(self, pointcloud, train: bool = False, bn_momentum=0.1):
@@ -144,6 +149,7 @@ class Pointnet2MSG(nn.Module):
                 use_xyz=self.use_xyz,
                 bn=self.bn,
                 dtype=self.dtype,
+                query_method=self.query_method,
             )
             li_xyz, li_feat = sa(l_xyz[k], l_features[k], train, bn_momentum)
             l_xyz.append(li_xyz)

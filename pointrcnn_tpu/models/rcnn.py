@@ -63,6 +63,7 @@ class RCNNNet(nn.Module):
                 bn=c.USE_BN,
                 ball_chunk=128,
                 dtype=dtype,
+                query_method=getattr(c, "BALL_QUERY_METHOD", "approx"),
             )
             l_xyz, l_features = sa(l_xyz, l_features, train, bn_momentum)
 

@@ -38,6 +38,7 @@ class RPN(nn.Module):
             fp_mlps=tuple(tuple(m) for m in rpn_cfg.FP_MLPS),
             bn=rpn_cfg.USE_BN,
             dtype=dtype,
+            query_method=getattr(rpn_cfg, "BALL_QUERY_METHOD", "approx"),
         )
         backbone_xyz, backbone_features = backbone(pts_input, train, bn_momentum)
 

@@ -276,7 +276,8 @@ def proposal_target_layer(
     pts_feature = jnp.concatenate(extra + [rpn_features], axis=-1)
 
     pooled, empty = roipool3d(
-        rpn_xyz, pts_feature, batch_rois, c.POOL_EXTRA_WIDTH, c.NUM_POINTS
+        rpn_xyz, pts_feature, batch_rois, c.POOL_EXTRA_WIDTH, c.NUM_POINTS,
+        method=getattr(c, "ROIPOOL_METHOD", "auto"),
     )
     sampled_pts, sampled_feats = pooled[..., 0:3], pooled[..., 3:]
 

@@ -46,6 +46,8 @@ def ball_query(
         Slots beyond the hit count repeat the first hit; rows with no hits
         are all-zero (CUDA ball_query semantics).
     """
+    if method not in ("exact", "approx"):
+        raise ValueError(f"ball_query method must be 'exact'|'approx', got {method!r}")
     B, N, _ = xyz.shape
     r2 = jnp.float32(radius) ** 2
 
@@ -76,17 +78,20 @@ def ball_query_multi(
     new_xyz: jnp.ndarray,
     specs,
     chunk: int = 512,
+    method: str = "approx",
 ) -> list[jnp.ndarray]:
     """Multi-radius ball query sharing ONE distance matrix.
 
     MSG set-abstraction queries several radii around the same centroids
     (reference PointnetSAModuleMSG); computing the (S, N) distance chunk once
     and selecting per (radius, nsample) halves the dominant cost vs separate
-    ball_query calls.  Approx-kNN selection semantics (see ball_query).
+    ball_query calls.  Selection semantics per ``method`` (see ball_query).
 
     :param specs: sequence of (radius, nsample)
     :return: list of (B, S, nsample_i) int32 index arrays
     """
+    if method not in ("exact", "approx"):
+        raise ValueError(f"ball_query method must be 'exact'|'approx', got {method!r}")
     B, N, _ = xyz.shape
     widths = [ns for _, ns in specs]
 
@@ -94,10 +99,24 @@ def ball_query_multi(
 
     def per_chunk(centroids):
         d2 = square_distance(centroids, xyz)
+        outs = []
+        if method == "exact":
+            # first-nsample-in-point-order per radius (CUDA semantics);
+            # each radius needs its own top-k since the in-radius mask differs
+            iota = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 2)
+            for radius, nsample in specs:
+                r2 = jnp.float32(radius) ** 2
+                order = jnp.where(d2 < r2, iota, N)
+                neg_vals, _ = jax.lax.top_k(-order, nsample)
+                vals = -neg_vals
+                first = vals[..., :1]
+                out = jnp.where(vals < N, vals, jnp.minimum(first, N - 1))
+                out = jnp.where(first >= N, 0, out)
+                outs.append(out.astype(jnp.int32))
+            return jnp.concatenate(outs, axis=-1)
         # one PartialReduce for the largest k; smaller-k selections are its
         # prefixes (approx_min_k returns ascending distances)
         vals, idx = jax.lax.approx_min_k(d2, kmax, recall_target=0.95)
-        outs = []
         for radius, nsample in specs:
             r2 = jnp.float32(radius) ** 2
             v, i = vals[..., :nsample], idx[..., :nsample]

@@ -23,20 +23,32 @@ def roipool3d(
     boxes3d: jnp.ndarray,
     extra_width: float,
     num_sampled: int,
+    method: str = "auto",
 ):
     """Pool points + features inside (enlarged) boxes.
 
     :param xyz: (B, N, 3); features: (B, N, C); boxes3d: (B, M, 7)
+    :param method: "auto" picks approx first-K on TPU for large N and exact
+        otherwise; "exact"/"approx" force a path.
     :return: (pooled (B, M, num_sampled, 3 + C), empty_flag (B, M) bool)
         pooled xyz are in the original frame (canonical transform is the
         caller's job, as in the reference rcnn_net.py:146-153).
     """
+    if method not in ("auto", "exact", "approx"):
+        raise ValueError(
+            f"roipool3d method must be 'auto'|'exact'|'approx', got {method!r}"
+        )
     B, N, _ = xyz.shape
     big = enlarge_box3d(boxes3d, extra_width)
     mask = points_in_boxes3d(xyz, big)  # (B, M, N)
 
     order = jnp.where(mask, jax.lax.broadcasted_iota(jnp.int32, mask.shape, 2), N)
-    if jax.default_backend() in ("tpu", "axon") and N >= 4096:
+    use_approx = method == "approx" or (
+        method == "auto"
+        and jax.default_backend() in ("tpu", "axon")
+        and N >= 4096
+    )
+    if use_approx:
         # approx_min_k (TPU PartialReduce) beats the full sort top_k lowers
         # to; ints below 2^24 are exact in f32. Selection becomes
         # "approximately the first K in point order" — upstream shuffling

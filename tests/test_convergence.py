@@ -84,3 +84,73 @@ def test_rpn_learns_fg_segmentation(tmp_path):
     assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.7, (losses[:5], losses[-5:])
     assert fg_acc > 0.7, f"fg recall {fg_acc0} -> {fg_acc}"
     assert bg_acc > 0.8, f"bg accuracy {bg_acc0} -> {bg_acc}"
+
+
+@pytest.mark.slow
+def test_joint_rcnn_loss_decreases(tmp_path):
+    """Joint RPN+RCNN training through the target-sampling path: total loss
+    and the RCNN component both decrease on the synthetic scenes."""
+    root = str(tmp_path / "kitti")
+    make_mini_kitti(root, num_samples=4, n_points=3000, seed=8)
+    cfg = default_config()
+    cfg.RPN.NUM_POINTS = 1024
+    cfg.RPN.SA_CONFIG.NPOINTS = [256, 64]
+    cfg.RPN.SA_CONFIG.RADIUS = [[0.5, 1.0], [1.0, 2.0]]
+    cfg.RPN.SA_CONFIG.NSAMPLE = [[16, 16], [16, 16]]
+    cfg.RPN.SA_CONFIG.MLPS = [[[16, 16], [16, 32]], [[32, 32], [32, 32]]]
+    cfg.RPN.FP_MLPS = [[32, 32], [32, 32]]
+    cfg.RPN.CLS_FC = [32]
+    cfg.RPN.REG_FC = [32]
+    cfg.RPN.LOSS_CLS = "SigmoidFocalLoss"
+    cfg.RPN.USE_INTENSITY = False
+    cfg.RPN.DP_RATIO = 0.0
+    cfg.RPN.NMS_MAX_CANDIDATES = 256
+    cfg.RCNN.ENABLED = True
+    cfg.RCNN.ROI_SAMPLE_JIT = True
+    cfg.RCNN.NUM_POINTS = 64
+    cfg.RCNN.ROI_PER_IMAGE = 16
+    cfg.RCNN.ROI_FG_AUG_TIMES = 3
+    cfg.RCNN.SA_CONFIG.NPOINTS = [32, -1]
+    cfg.RCNN.SA_CONFIG.RADIUS = [0.4, 100]
+    cfg.RCNN.SA_CONFIG.NSAMPLE = [16, 16]
+    cfg.RCNN.SA_CONFIG.MLPS = [[32, 32], [32, 64]]
+    cfg.RCNN.XYZ_UP_LAYER = [32, 32]
+    cfg.RCNN.CLS_FC = [32]
+    cfg.RCNN.REG_FC = [32]
+    cfg.RCNN.DP_RATIO = 0.0
+    cfg.RCNN.MAX_GT_BOXES = 8
+    cfg.TRAIN.RPN_PRE_NMS_TOP_N = 256
+    cfg.TRAIN.RPN_POST_NMS_TOP_N = 64
+    cfg.GT_AUG_ENABLED = False
+    cfg.AUG_DATA = False
+    cfg.TRAIN.OPTIMIZER = "adam_onecycle"
+    cfg.TRAIN.LR = 0.002
+    cfg.TRAIN.MOMS = [0.9, 0.85]
+    cfg = cfg.freeze()
+
+    ds = KittiRCNNDataset(root, cfg, npoints=cfg.RPN.NUM_POINTS, split="train", mode="TRAIN")
+    loader = DataLoader(ds, batch_size=4, shuffle=True, seed=0)
+
+    model = PointRCNN(cfg=cfg, mode="TRAIN")
+    steps = 120
+    tx = build_optimizer(cfg, total_steps=steps, steps_per_epoch=1)
+    batch0 = next(iter(loader))
+    sample = {k: v for k, v in batch0.items() if isinstance(v, np.ndarray) and v.dtype != object}
+    state = create_train_state(model, cfg, sample, tx)
+    step = make_train_step(model, cfg, tx)
+
+    losses, rcnn_losses = [], []
+    rng = jax.random.PRNGKey(0)
+    for i in range(steps):
+        loader.set_epoch(i)
+        for batch in loader:
+            b = {k: v for k, v in batch.items() if isinstance(v, np.ndarray) and v.dtype != object}
+            state, tb = step(state, b, jax.random.fold_in(rng, i), 0.1)
+            losses.append(float(tb["loss"]))
+            rcnn_losses.append(float(tb["rcnn_loss"]))
+            break
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-10:]) < np.mean(losses[:10]) * 0.8, (
+        np.mean(losses[:10]), np.mean(losses[-10:]))
+    assert np.mean(rcnn_losses[-10:]) < np.mean(rcnn_losses[:10]), (
+        np.mean(rcnn_losses[:10]), np.mean(rcnn_losses[-10:]))

@@ -335,3 +335,34 @@ def test_roipool3d_semantics():
     want_idx = [hits[k % len(hits)] if k >= len(hits) else hits[k] for k in range(K)]
     np.testing.assert_allclose(pooled[0, 0, :, :3], xyz[0][want_idx], atol=1e-6)
     np.testing.assert_allclose(pooled[0, 0, :, 3:], feats[0][want_idx], atol=1e-6)
+
+
+def test_ball_query_multi_exact_matches_single():
+    from pointrcnn_tpu.ops.grouping import ball_query_multi
+
+    rng = np.random.RandomState(5)
+    xyz = rng.uniform(-3, 3, (2, 256, 3)).astype(np.float32)
+    new_xyz = xyz[:, :32]
+    specs = ((0.5, 8), (1.0, 16))
+    multi = ball_query_multi(
+        jnp.asarray(xyz), jnp.asarray(new_xyz), specs, method="exact"
+    )
+    for (radius, nsample), got in zip(specs, multi):
+        want = ball_query(
+            jnp.asarray(xyz), jnp.asarray(new_xyz), radius, nsample, method="exact"
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_roipool_method_exact_forced():
+    from pointrcnn_tpu.ops.roipool3d import roipool3d
+
+    rng = np.random.RandomState(6)
+    xyz = rng.uniform(-5, 5, (1, 512, 3)).astype(np.float32)
+    feats = rng.randn(1, 512, 2).astype(np.float32)
+    boxes = np.array([[[0, 1, 0, 2, 3, 3, 0.3]]], np.float32)
+    a, ea = roipool3d(jnp.asarray(xyz), jnp.asarray(feats), jnp.asarray(boxes), 0.0, 16, method="exact")
+    b, eb = roipool3d(jnp.asarray(xyz), jnp.asarray(feats), jnp.asarray(boxes), 0.0, 16, method="auto")
+    # on CPU auto == exact
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(ea), np.asarray(eb))
