@@ -108,13 +108,27 @@ class SharedMLP(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, train: bool = False, bn_momentum=0.1,
-        reduce_max: bool = False,
+        self, x: jnp.ndarray | None, train: bool = False, bn_momentum=0.1,
+        reduce_max: bool = False, group_args: tuple | None = None,
     ) -> jnp.ndarray:
         """``reduce_max=True`` additionally maxes over axis 2 (the
-        neighborhood axis of a (B, S, K, C) input)."""
+        neighborhood axis of a (B, S, K, C) input).
+
+        ``group_args=(xyz, features, new_xyz, idx, use_xyz)`` replaces ``x``
+        with an un-materialised neighborhood: on the eval path the gather,
+        the MLP stack and the K-max run as ONE Pallas kernel
+        (ops.pallas_mlp.fused_group_mlp_max); elsewhere the neighborhoods are
+        grouped here and flow through the plain formulation.
+        """
         eps = 1e-5
-        cin = x.shape[-1]
+        if group_args is not None:
+            g_xyz, g_feats, g_new_xyz, g_idx, g_use_xyz = group_args
+            cin = (g_feats.shape[-1] if g_feats is not None else 0) + (
+                3 if g_use_xyz else 0
+            )
+            reduce_max = True
+        else:
+            cin = x.shape[-1]
         layers = []
         for i, f in enumerate(self.features):
             w = self.param(f"w{i}", self.kernel_init, (cin, f))
@@ -131,11 +145,15 @@ class SharedMLP(nn.Module):
                 layers.append((w, b, None, None, None, None))
             cin = f
 
-        dt = self.dtype or x.dtype
+        dt = self.dtype or (x.dtype if x is not None else jnp.float32)
 
         if reduce_max and not train:
             # fold BN (running stats) into (W, b) and run fused
-            from pointrcnn_tpu.ops.pallas_mlp import fused_mlp_max
+            from pointrcnn_tpu.ops.pallas_mlp import (
+                fused_group_mlp_max,
+                fused_group_mlp_max_supported,
+                fused_mlp_max,
+            )
 
             ws, bs = [], []
             for w, b, scale, bias, mean_v, var_v in layers:
@@ -146,7 +164,22 @@ class SharedMLP(nn.Module):
                 else:
                     ws.append(w)
                     bs.append(b)
+            if group_args is not None:
+                if fused_group_mlp_max_supported(g_feats, g_idx):
+                    return fused_group_mlp_max(
+                        g_xyz, g_feats, g_new_xyz, g_idx, ws, bs, g_use_xyz
+                    )
+                from pointrcnn_tpu.ops.grouping import group_points
+
+                x = group_points(g_xyz, g_feats, g_new_xyz, g_idx,
+                                 g_use_xyz, out_dtype=dt)
             return fused_mlp_max(x, ws, bs, compute_dtype=dt)
+
+        if group_args is not None:
+            from pointrcnn_tpu.ops.grouping import group_points
+
+            x = group_points(g_xyz, g_feats, g_new_xyz, g_idx, g_use_xyz,
+                             out_dtype=dt)
 
         for w, b, scale, bias, mean_v, var_v in layers:
             y = jnp.dot(x.astype(dt), w.astype(dt), preferred_element_type=jnp.float32)

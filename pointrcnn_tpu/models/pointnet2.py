@@ -53,10 +53,9 @@ class SetAbstractionMSG(nn.Module):
         )
         outs = []
         for idx, mlp in zip(idx_list, self.mlps):
-            grouped = group_points(xyz, features, new_xyz, idx, self.use_xyz,
-                                   out_dtype=self.dtype)
             feat = SharedMLP(tuple(mlp), bn=self.bn, dtype=self.dtype)(
-                grouped, train, bn_momentum, reduce_max=True
+                None, train, bn_momentum, reduce_max=True,
+                group_args=(xyz, features, new_xyz, idx, self.use_xyz),
             )
             outs.append(feat)
         return new_xyz, jnp.concatenate(outs, axis=-1)
@@ -83,8 +82,11 @@ class SetAbstraction(nn.Module):
             new_xyz = gather_points(xyz, fps_idx)
             idx = ball_query(xyz, new_xyz, self.radius, self.nsample,
                              chunk=self.ball_chunk, method=self.query_method)
-            grouped = group_points(xyz, features, new_xyz, idx, self.use_xyz,
-                                   out_dtype=self.dtype)
+            feat = SharedMLP(tuple(self.mlp), bn=self.bn, dtype=self.dtype)(
+                None, train, bn_momentum, reduce_max=True,
+                group_args=(xyz, features, new_xyz, idx, self.use_xyz),
+            )
+            return new_xyz, feat
         else:
             # group-all: a single neighborhood containing every point
             new_xyz = jnp.zeros((xyz.shape[0], 1, 3), xyz.dtype)

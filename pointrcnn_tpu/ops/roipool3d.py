@@ -70,9 +70,10 @@ def roipool3d(
     idx = jnp.take_along_axis(hits, sel, axis=-1)
     idx = jnp.where(empty[..., None], 0, idx)
 
-    pooled_xyz = gather_points(xyz, idx)  # (B, M, K, 3)
-    pooled_feat = gather_points(features, idx)  # (B, M, K, C)
-    pooled = jnp.concatenate([pooled_xyz, pooled_feat], axis=-1)
+    # one gather over the concatenated (3 + C) table instead of two: the
+    # XLA gather cost is per-row, not per-channel
+    table = jnp.concatenate([xyz, features.astype(xyz.dtype)], axis=-1)
+    pooled = gather_points(table, idx)  # (B, M, K, 3 + C)
     pooled = jnp.where(empty[..., None, None], 0.0, pooled)
     return pooled, empty
 

@@ -101,6 +101,29 @@ def main():
             )
     check("roipool in-box", ok)
 
+    # 6) fused gather+MLP+max kernel == XLA formulation
+    from pointrcnn_tpu.ops.pallas_mlp import fused_group_mlp_max, fused_mlp_max
+    from pointrcnn_tpu.ops.grouping import group_points
+
+    rng = np.random.RandomState(5)
+    B, N, C, S, K = 16, 512, 128, 128, 64
+    xyzg = jnp.asarray(rng.uniform(-30, 30, (B, N, 3)).astype(np.float32))
+    featg = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+    new_xyzg = xyzg[:, :S]
+    idxg = jnp.asarray(rng.randint(0, N, (B, S, K)).astype(np.int32))
+    ws, bs2, cin = [], [], C + 3
+    for f in (128, 128, 128):
+        ws.append(jnp.asarray(rng.randn(cin, f).astype(np.float32) * 0.05))
+        bs2.append(jnp.asarray(rng.randn(f).astype(np.float32) * 0.1))
+        cin = f
+    ref = jax.device_get(jax.jit(lambda x, fe, nx, i: fused_mlp_max(
+        group_points(x, fe, nx, i, True, jnp.bfloat16), ws, bs2))(
+        xyzg, featg, new_xyzg, idxg))
+    got = jax.device_get(jax.jit(lambda x, fe, nx, i: fused_group_mlp_max(
+        x, fe, nx, i, ws, bs2, True))(xyzg, featg, new_xyzg, idxg))
+    err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+    check("fused group+mlp+max", err < 2e-2, f"rel {err:.1e}")
+
     print(f"\n{'ALL PASS' if not failures else 'FAILURES: ' + ', '.join(failures)}")
     sys.exit(1 if failures else 0)
 
