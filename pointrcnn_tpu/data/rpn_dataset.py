@@ -154,6 +154,19 @@ class KittiRCNNDataset(KittiDataset):
             out.append(obj)
         return out
 
+    def cls_index(self, cls_type: str) -> int:
+        """0-based foreground-class index; similar types map to their main
+        class (Van->Car, Person_sitting->Pedestrian; reference
+        kitti_rcnn_dataset.py:166-173 treats them as the same category)."""
+        if cls_type == "Van":
+            cls_type = "Car"
+        elif cls_type == "Person_sitting":
+            cls_type = "Pedestrian"
+        try:
+            return max(self.classes.index(cls_type) - 1, 0)
+        except ValueError:
+            return 0
+
     @staticmethod
     def filtrate_dc_objects(obj_list):
         return [obj for obj in obj_list if obj.cls_type != "DontCare"]
@@ -306,6 +319,9 @@ class KittiRCNNDataset(KittiDataset):
             pts_rect=aug_pts_rect.astype(np.float32),
             pts_features=ret_pts_features,
             gt_boxes3d=aug_gt_boxes3d.astype(np.float32),
+            gt_cls=np.array(
+                [self.cls_index(o.cls_type) for o in gt_obj_list], np.int32
+            ),
         )
         if not cfg.RPN.FIXED:
             cls_label, reg_label = self.generate_rpn_training_labels(
@@ -494,9 +510,12 @@ class KittiRCNNDataset(KittiDataset):
         )
         roi_file = os.path.join(self.rcnn_training_roi_dir, "%06d.txt" % sample_id)
         roi_boxes3d = objs_to_boxes3d(get_objects_from_label(roi_file))
-        gt_boxes3d = objs_to_boxes3d(self.filtrate_objects(self.get_label(sample_id)))
+        gt_objs = self.filtrate_objects(self.get_label(sample_id))
+        gt_boxes3d = objs_to_boxes3d(gt_objs)
+        gt_cls = np.array([self.cls_index(o.cls_type) for o in gt_objs], np.int32)
         return {
             "sample_id": sample_id,
+            "gt_cls": gt_cls,
             "rpn_xyz": xyz.astype(np.float32),
             "rpn_features": feats.astype(np.float32),
             "rpn_intensity": intensity.astype(np.float32),
@@ -764,6 +783,13 @@ class KittiRCNNDataset(KittiDataset):
                 # per-roi arrays: merge the (batch, roi) axes — rois are the
                 # RCNN's batch dimension
                 out[key] = np.concatenate(vals, axis=0)
+                continue
+            if key == "gt_cls":
+                padded = np.zeros((len(batch), max_gt), np.int32)
+                for i, v in enumerate(vals):
+                    n = min(len(v), max_gt)
+                    padded[i, :n] = v[:n]
+                out[key] = padded
                 continue
             if key in ("gt_boxes3d", "roi_boxes3d"):
                 # rois loaded from proposal files can be up to the post-NMS

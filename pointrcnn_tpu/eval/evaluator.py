@@ -23,11 +23,21 @@ from pointrcnn_tpu.utils.np_geometry import boxes3d_to_corners3d
 THRESH_LIST = (0.1, 0.3, 0.5, 0.7, 0.9)
 
 
+FG_CLASS_NAMES = {
+    "Car": ("Car",),
+    "Pedestrian": ("Pedestrian",),
+    "Cyclist": ("Cyclist",),
+    "People": ("Pedestrian", "Cyclist"),
+}
+
+
 def save_kitti_format(sample_id, calib, bbox3d, kitti_output_dir, scores,
-                      img_shape, class_name="Car"):
+                      img_shape, class_name="Car", pred_cls=None):
     """Write detections as KITTI result lines (reference eval_rcnn.py:69-94):
     3D->2D corner projection, clipped; boxes covering >80% of the image are
-    vetoed; alpha from beta + ry."""
+    vetoed; alpha from beta + ry.  For multi-class configs ``pred_cls`` is a
+    per-box 0-based foreground-class index used to pick the output name."""
+    names = FG_CLASS_NAMES.get(class_name, (class_name,))
     corners3d = boxes3d_to_corners3d(bbox3d)
     img_boxes, _ = calib.corners3d_to_img_boxes(corners3d)
     img_boxes[:, 0] = np.clip(img_boxes[:, 0], 0, img_shape[1] - 1)
@@ -46,10 +56,11 @@ def save_kitti_format(sample_id, calib, bbox3d, kitti_output_dir, scores,
             x, z, ry = bbox3d[k, 0], bbox3d[k, 2], bbox3d[k, 6]
             beta = np.arctan2(z, x)
             alpha = -np.sign(beta) * np.pi / 2 + beta + ry
+            name = names[int(pred_cls[k])] if pred_cls is not None else names[0]
             print(
                 "%s -1 -1 %.4f %.4f %.4f %.4f %.4f %.4f %.4f %.4f %.4f %.4f %.4f %.4f %.4f"
                 % (
-                    class_name, alpha,
+                    name, alpha,
                     img_boxes[k, 0], img_boxes[k, 1], img_boxes[k, 2], img_boxes[k, 3],
                     bbox3d[k, 3], bbox3d[k, 4], bbox3d[k, 5],
                     bbox3d[k, 0], bbox3d[k, 1], bbox3d[k, 2], bbox3d[k, 6], scores[k],
@@ -72,17 +83,36 @@ def build_joint_eval_step(model, cfg, with_gt: bool):
     """Jitted full two-stage eval step (reference eval_one_epoch_joint
     body, eval_rcnn.py:459-630)."""
 
+    from pointrcnn_tpu.models.point_rcnn import num_classes_for
+
+    n_cls = num_classes_for(cfg)
+
     def step(variables, pts_input, gt_boxes3d=None, gt_valid=None):
         out = model.apply(variables, {"pts_input": pts_input}, train=False)
         B = pts_input.shape[0]
         rois = out["rois"]
         M = rois.shape[1]
         rcnn_reg = out["rcnn_reg"].reshape(B, M, -1)
-        rcnn_cls = out["rcnn_cls"].reshape(B, M)
+
+        if n_cls == 2:
+            rcnn_cls = out["rcnn_cls"].reshape(B, M)
+            raw_scores = rcnn_cls
+            norm_scores = jax.nn.sigmoid(raw_scores)
+            pred_cls = jnp.zeros((B, M), jnp.int32)
+            anchor = jnp.asarray(cfg.CLS_MEAN_SIZE[0])
+        else:
+            # multi-class head: softmax over (bg + fg classes); the box is
+            # decoded with the predicted class's anchor
+            logits = out["rcnn_cls"].reshape(B, M, n_cls)
+            probs = jax.nn.softmax(logits, axis=-1)
+            pred_cls = jnp.argmax(probs[..., 1:], axis=-1).astype(jnp.int32)
+            norm_scores = jnp.max(probs[..., 1:], axis=-1)
+            raw_scores = jnp.max(logits[..., 1:], axis=-1)
+            anchor = jnp.asarray(cfg.CLS_MEAN_SIZE)[pred_cls.reshape(-1)]
 
         pred_boxes3d = decode_bbox_target(
             rois.reshape(-1, 7), rcnn_reg.reshape(B * M, -1),
-            anchor_size=jnp.asarray(cfg.CLS_MEAN_SIZE[0]),
+            anchor_size=anchor,
             loc_scope=cfg.RCNN.LOC_SCOPE,
             loc_bin_size=cfg.RCNN.LOC_BIN_SIZE,
             num_head_bin=cfg.RCNN.NUM_HEAD_BIN,
@@ -91,8 +121,6 @@ def build_joint_eval_step(model, cfg, with_gt: bool):
             get_ry_fine=True,
         ).reshape(B, M, 7)
 
-        raw_scores = rcnn_cls
-        norm_scores = jax.nn.sigmoid(raw_scores)
         keep_score = (norm_scores > cfg.RCNN.SCORE_THRESH) & out["roi_valid"]
 
         def final_nms(boxes, scores, valid):
@@ -113,6 +141,7 @@ def build_joint_eval_step(model, cfg, with_gt: bool):
             "pred_boxes3d": pred_boxes3d,
             "raw_scores": raw_scores,
             "norm_scores": norm_scores,
+            "pred_cls": pred_cls,
             "sel_idx": sel_idx,
             "sel_valid": sel_valid,
             "rpn_cls": out["rpn_cls"],
@@ -220,7 +249,7 @@ def eval_one_epoch_joint(model, variables, cfg, loader, result_dir,
             final_total += boxes.shape[0]
             save_kitti_format(
                 sample_id, calib, boxes, final_output_dir, scores, img_shape,
-                class_name=cfg.CLASSES,
+                class_name=cfg.CLASSES, pred_cls=out["pred_cls"][k][sel],
             )
 
     # empty files for samples with no detections (reference eval_rcnn.py:631-642)

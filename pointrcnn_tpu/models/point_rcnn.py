@@ -28,16 +28,23 @@ def canonical_transform(pooled_pts, rois):
     return jax.vmap(rotate_pc_along_y)(local, rois[..., 6])
 
 
+def num_classes_for(cfg) -> int:
+    """Background + foreground classes for the active CLASSES config
+    (reference KittiRCNNDataset class tuples, kitti_rcnn_dataset.py:26-38)."""
+    return {"Car": 2, "Pedestrian": 2, "Cyclist": 2, "People": 3}[cfg.CLASSES]
+
+
 class PointRCNN(nn.Module):
     cfg: object  # frozen ConfigNode
-    num_classes: int = 2
+    num_classes: int | None = None  # derived from cfg.CLASSES when None
     mode: str = "TRAIN"  # which NMS budget set to use ('TRAIN' / 'TEST')
 
     def setup(self):
+        n_cls = self.num_classes or num_classes_for(self.cfg)
         if self.cfg.RPN.ENABLED:
             self.rpn = RPN(cfg=self.cfg)
         if self.cfg.RCNN.ENABLED:
-            self.rcnn_net = RCNNNet(cfg=self.cfg, num_classes=self.num_classes)
+            self.rcnn_net = RCNNNet(cfg=self.cfg, num_classes=n_cls)
 
     def __call__(self, input_data: dict, train: bool = False, bn_momentum=0.1):
         cfg = self.cfg
@@ -87,6 +94,7 @@ class PointRCNN(nn.Module):
                 input_data["gt_boxes3d"], input_data["gt_valid"],
                 backbone_xyz, backbone_features, seg_mask, pts_depth,
                 rpn_intensity=input_data.get("rpn_intensity"),
+                gt_cls=input_data.get("gt_cls"),
             )
             pts_input = jnp.concatenate(
                 [target["sampled_pts"], target["pts_feature"]], axis=2

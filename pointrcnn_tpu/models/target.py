@@ -245,11 +245,14 @@ def proposal_target_layer(
     seg_mask,
     pts_depth,
     rpn_intensity=None,
+    gt_cls=None,
 ):
     """Full target pipeline (reference ProposalTargetLayer.forward:14-76).
 
     Shapes: rois (B, M, 7); gt_boxes3d (B, G, 7); rpn_xyz (B, N, 3);
-    rpn_features (B, N, 128); seg_mask/pts_depth (B, N).
+    rpn_features (B, N, 128); seg_mask/pts_depth (B, N);
+    gt_cls (B, G) int32 0-based foreground-class indices (None == all class 0,
+    the single-class case).
     Returns a dict of per-roi tensors flattened to (B*R, ...).
     """
     B = rois.shape[0]
@@ -262,6 +265,9 @@ def proposal_target_layer(
 
     batch_rois = jnp.take_along_axis(rois, sel[..., None], axis=1)  # (B, R, 7)
     batch_gt = jnp.take_along_axis(gt_boxes3d, gt_assign[..., None], axis=1)
+    if gt_cls is None:
+        gt_cls = jnp.zeros(gt_boxes3d.shape[:2], jnp.int32)
+    roi_cls = jnp.take_along_axis(gt_cls.astype(jnp.int32), gt_assign, axis=1)
 
     batch_rois, roi_iou = jax.vmap(
         lambda k, r, g, i, f: _aug_rois_by_noise_one(k, r, g, i, f, cfg)
@@ -297,10 +303,12 @@ def proposal_target_layer(
         batch_gt, roi_ry
     )
 
-    # labels (proposal_target_layer.py:58-66)
+    # labels (proposal_target_layer.py:58-66); foreground label is the
+    # 1-based gt class index, which reduces to the binary 0/1 convention in
+    # the single-class case (roi_cls is all zeros there)
     valid_mask = ~empty & ~degenerate[:, None]
     reg_valid = ((roi_iou > c.REG_FG_THRESH) & valid_mask).astype(jnp.int32)
-    cls_label = (roi_iou > c.CLS_FG_THRESH).astype(jnp.int32)
+    cls_label = jnp.where(roi_iou > c.CLS_FG_THRESH, roi_cls + 1, 0)
     uncertain = (roi_iou > c.CLS_BG_THRESH) & (roi_iou < c.CLS_FG_THRESH)
     cls_label = jnp.where(~valid_mask | uncertain, -1, cls_label)
 
@@ -313,4 +321,5 @@ def proposal_target_layer(
         "gt_of_rois": batch_gt.reshape(B * R, 7),
         "gt_iou": roi_iou.reshape(-1),
         "roi_boxes3d": batch_rois.reshape(B * R, 7),
+        "gt_cls_of_rois": roi_cls.reshape(-1),
     }

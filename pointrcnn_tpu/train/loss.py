@@ -113,11 +113,17 @@ def get_rcnn_loss(cfg, rcnn_cls, rcnn_reg, target: dict):
         raise NotImplementedError(cfg.RCNN.LOSS_CLS)
 
     fg_mask = reg_valid_mask > 0
-    anchor = (
-        roi_size if cfg.RCNN.SIZE_RES_ON_ROI else jnp.asarray(cfg.CLS_MEAN_SIZE[0])
-    )
+    if cfg.RCNN.SIZE_RES_ON_ROI:
+        anchor = roi_size
+    else:
+        # per-roi anchor selected by the assigned gt class (single-class
+        # configs have one row, so this reduces to the shared anchor)
+        roi_cls = target.get(
+            "gt_cls_of_rois", jnp.zeros(cls_label.shape[0], jnp.int32)
+        )
+        anchor = jnp.asarray(cfg.CLS_MEAN_SIZE)[roi_cls]
     loss_loc, loss_angle, loss_size, _ = losses.get_reg_loss(
-        rcnn_reg.reshape(cls_flat.shape[0], -1),
+        rcnn_reg.reshape(cls_label.shape[0], -1),
         gt_boxes3d_ct.reshape(-1, 7),
         fg_mask,
         loc_scope=cfg.RCNN.LOC_SCOPE,

@@ -29,8 +29,17 @@ def _label_line(cls, box3d, box2d=(300, 150, 400, 250), alpha=0.0):
     )
 
 
-def make_mini_kitti(root, num_samples=4, n_points=4000, seed=0, split="train"):
-    """Create a tiny on-disk KITTI tree; returns (root, boxes per sample)."""
+def make_mini_kitti(root, num_samples=4, n_points=4000, seed=0, split="train",
+                    classes=("Car", "Car")):
+    """Create a tiny on-disk KITTI tree; returns (root, boxes per sample).
+
+    ``classes``: the object class per box in each scene; Car boxes are
+    car-sized, Pedestrian/Cyclist boxes person-sized."""
+    SIZES = {
+        "Car": (1.5, 1.6, 3.9),
+        "Pedestrian": (1.73, 0.6, 0.8),
+        "Cyclist": (1.73, 0.6, 1.76),
+    }
     rng = np.random.RandomState(seed)
     training = os.path.join(root, "KITTI", "object", "training")
     for sub in ("velodyne", "calib", "label_2", "planes", "image_2"):
@@ -47,8 +56,9 @@ def make_mini_kitti(root, num_samples=4, n_points=4000, seed=0, split="train"):
         sid = f"{i:06d}"
         ids.append(sid)
 
-        # scene: ground plane points + 2 cars with points inside
-        n_bg = n_points - 600
+        # scene: ground plane points + objects with points inside
+        n_obj = len(classes)
+        n_bg = n_points - 300 * n_obj
         pts = np.zeros((n_points, 4), np.float32)
         pts[:n_bg, 0] = rng.uniform(-20, 20, n_bg)
         pts[:n_bg, 1] = 1.65 + rng.normal(0, 0.05, n_bg)
@@ -56,18 +66,19 @@ def make_mini_kitti(root, num_samples=4, n_points=4000, seed=0, split="train"):
         pts[:n_bg, 3] = rng.rand(n_bg)
 
         boxes = []
-        for j in range(2):
+        for j, cls in enumerate(classes):
+            h, w, l = SIZES[cls]
             cx = rng.uniform(-8, 8)
             cz = rng.uniform(10, 50)
             ry = rng.uniform(-np.pi, np.pi)
-            box = (cx, 1.65, cz, 1.5, 1.6, 3.9, ry)
+            box = (cx, 1.65, cz, h, w, l, ry)
             boxes.append(box)
             s = n_bg + j * 300
             local = np.stack(
                 [
-                    rng.uniform(-1.8, 1.8, 300),
-                    rng.uniform(-1.45, -0.05, 300),
-                    rng.uniform(-0.7, 0.7, 300),
+                    rng.uniform(-l * 0.46, l * 0.46, 300),
+                    rng.uniform(-h * 0.97, -h * 0.03, 300),
+                    rng.uniform(-w * 0.44, w * 0.44, 300),
                 ],
                 axis=1,
             )
@@ -84,8 +95,8 @@ def make_mini_kitti(root, num_samples=4, n_points=4000, seed=0, split="train"):
         with open(os.path.join(training, "planes", sid + ".txt"), "w") as f:
             f.write(PLANE_TXT)
         with open(os.path.join(training, "label_2", sid + ".txt"), "w") as f:
-            for box in boxes:
-                f.write(_label_line("Car", box) + "\n")
+            for cls, box in zip(classes, boxes):
+                f.write(_label_line(cls, box) + "\n")
             f.write(_label_line("DontCare", (0, 0, 60, 1, 1, 1, 0)) + "\n")
         img.save(os.path.join(training, "image_2", sid + ".png"))
 

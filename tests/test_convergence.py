@@ -154,3 +154,102 @@ def test_joint_rcnn_loss_decreases(tmp_path):
         np.mean(losses[:10]), np.mean(losses[-10:]))
     assert np.mean(rcnn_losses[-10:]) < np.mean(rcnn_losses[:10]), (
         np.mean(rcnn_losses[:10]), np.mean(rcnn_losses[-10:]))
+
+
+@pytest.mark.slow
+def test_multiclass_people_joint_converges(tmp_path):
+    """True joint 3-class (bg/Pedestrian/Cyclist) training: CrossEntropy RCNN
+    head, per-class anchors in the codec; losses decrease and the class
+    labels flowing through the target layer cover both foreground classes."""
+    root = str(tmp_path / "kitti")
+    make_mini_kitti(root, num_samples=4, n_points=3000, seed=9,
+                    classes=("Pedestrian", "Cyclist"))
+    cfg = default_config()
+    cfg.CLASSES = "People"
+    cfg.CLS_MEAN_SIZE = np.array(
+        [[1.73, 0.6, 0.8], [1.73, 0.6, 1.76]], np.float32
+    )
+    cfg.RPN.NUM_POINTS = 1024
+    cfg.RPN.SA_CONFIG.NPOINTS = [256, 64]
+    cfg.RPN.SA_CONFIG.RADIUS = [[0.5, 1.0], [1.0, 2.0]]
+    cfg.RPN.SA_CONFIG.NSAMPLE = [[16, 16], [16, 16]]
+    cfg.RPN.SA_CONFIG.MLPS = [[[16, 16], [16, 32]], [[32, 32], [32, 32]]]
+    cfg.RPN.FP_MLPS = [[32, 32], [32, 32]]
+    cfg.RPN.CLS_FC = [32]
+    cfg.RPN.REG_FC = [32]
+    cfg.RPN.LOSS_CLS = "SigmoidFocalLoss"
+    cfg.RPN.USE_INTENSITY = False
+    cfg.RPN.DP_RATIO = 0.0
+    cfg.RPN.NMS_MAX_CANDIDATES = 256
+    cfg.RCNN.ENABLED = True
+    cfg.RCNN.ROI_SAMPLE_JIT = True
+    cfg.RCNN.LOSS_CLS = "CrossEntropy"
+    cfg.RCNN.NUM_POINTS = 64
+    cfg.RCNN.ROI_PER_IMAGE = 16
+    cfg.RCNN.ROI_FG_AUG_TIMES = 3
+    cfg.RCNN.SA_CONFIG.NPOINTS = [32, -1]
+    cfg.RCNN.SA_CONFIG.RADIUS = [0.4, 100]
+    cfg.RCNN.SA_CONFIG.NSAMPLE = [16, 16]
+    cfg.RCNN.SA_CONFIG.MLPS = [[32, 32], [32, 64]]
+    cfg.RCNN.XYZ_UP_LAYER = [32, 32]
+    cfg.RCNN.CLS_FC = [32]
+    cfg.RCNN.REG_FC = [32]
+    cfg.RCNN.DP_RATIO = 0.0
+    cfg.RCNN.MAX_GT_BOXES = 8
+    cfg.TRAIN.RPN_PRE_NMS_TOP_N = 256
+    cfg.TRAIN.RPN_POST_NMS_TOP_N = 64
+    cfg.GT_AUG_ENABLED = False
+    cfg.AUG_DATA = False
+    cfg.TRAIN.OPTIMIZER = "adam_onecycle"
+    cfg.TRAIN.LR = 0.002
+    cfg.TRAIN.MOMS = [0.9, 0.85]
+    cfg = cfg.freeze()
+
+    ds = KittiRCNNDataset(root, cfg, npoints=cfg.RPN.NUM_POINTS, split="train",
+                          mode="TRAIN", classes="People")
+    loader = DataLoader(ds, batch_size=4, shuffle=True, seed=0)
+    batch0 = next(iter(loader))
+    # both foreground classes present in the gt labels
+    gt_cls = batch0["gt_cls"][batch0["gt_valid"]]
+    assert set(np.unique(gt_cls)) == {0, 1}
+
+    model = PointRCNN(cfg=cfg, mode="TRAIN")
+    steps = 120
+    tx = build_optimizer(cfg, total_steps=steps, steps_per_epoch=1)
+    sample = {k: v for k, v in batch0.items() if isinstance(v, np.ndarray) and v.dtype != object}
+    state = create_train_state(model, cfg, sample, tx)
+    step = make_train_step(model, cfg, tx)
+
+    # the RCNN head must be 3-way
+    out = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats}, sample,
+        train=True,
+        rngs={"target": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
+        mutable=["batch_stats"],
+    )[0]
+    assert out["rcnn_cls"].shape[-1] == 3
+
+    losses_, rcnn_losses = [], []
+    rng = jax.random.PRNGKey(0)
+    for i in range(steps):
+        loader.set_epoch(i)
+        for batch in loader:
+            b = {k: v for k, v in batch.items() if isinstance(v, np.ndarray) and v.dtype != object}
+            state, tb = step(state, b, jax.random.fold_in(rng, i), 0.1)
+            losses_.append(float(tb["loss"]))
+            rcnn_losses.append(float(tb["rcnn_loss"]))
+            break
+    assert np.isfinite(losses_).all()
+    assert np.mean(losses_[-10:]) < np.mean(losses_[:10]) * 0.8
+    assert np.mean(rcnn_losses[-10:]) < np.mean(rcnn_losses[:10])
+
+    # with a trained RPN, proposals overlap gt: class-indexed fg labels
+    # (1=Pedestrian, 2=Cyclist) reach the CrossEntropy loss
+    out = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats}, sample,
+        train=True,
+        rngs={"target": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(4)},
+        mutable=["batch_stats"],
+    )[0]
+    labels = np.asarray(out["cls_label"])
+    assert labels.max() >= 1, labels

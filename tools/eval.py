@@ -44,6 +44,11 @@ def parse_args():
     return p.parse_args()
 
 
+
+AP_CLASSES = {  # cfg.CLASSES -> kitti_eval class indices
+    "Car": (0,), "Pedestrian": (1,), "Cyclist": (2,), "People": (1, 2),
+}
+
 def create_logger(log_file, name):
     os.makedirs(os.path.dirname(log_file), exist_ok=True)
     logger = logging.getLogger(name)
@@ -131,7 +136,8 @@ def eval_ckpt(args, cfg, ckpt_path, logger):
         if not args.test:
             split_file = os.path.join(args.data_root, "KITTI", "ImageSets", f"{split}.txt")
             label_dir = os.path.join(args.data_root, "KITTI", "object", "training", "label_2")
-            result_str, ap = evaluate(label_dir, final_dir, split_file, current_classes=(0,))
+            result_str, ap = evaluate(label_dir, final_dir, split_file,
+                                      current_classes=AP_CLASSES[cfg.CLASSES])
             logger.info("\n%s", result_str)
             ret.update(ap)
         return ret
@@ -151,7 +157,8 @@ def eval_ckpt(args, cfg, ckpt_path, logger):
     if not args.test:
         split_file = os.path.join(args.data_root, "KITTI", "ImageSets", f"{split}.txt")
         label_dir = os.path.join(args.data_root, "KITTI", "object", "training", "label_2")
-        result_str, ap = evaluate(label_dir, final_dir, split_file, current_classes=(0,))
+        result_str, ap = evaluate(label_dir, final_dir, split_file,
+                                      current_classes=AP_CLASSES[cfg.CLASSES])
         logger.info("\n%s", result_str)
         ret.update(ap)
     return ret
