@@ -51,6 +51,18 @@ def ball_query(
     B, N, _ = xyz.shape
     r2 = jnp.float32(radius) ** 2
 
+    if method == "approx":
+        from pointrcnn_tpu.ops.pallas_ballquery import (
+            ball_query_pallas,
+            ball_query_pallas_supported,
+        )
+
+        if ball_query_pallas_supported(N, new_xyz.shape[1], nsample):
+            vals, idx = ball_query_pallas(xyz, new_xyz, nsample)
+            in_r = vals < r2
+            first = idx[..., :1]
+            return jnp.where(in_r, idx, jnp.where(in_r[..., :1], first, 0))
+
     def per_chunk_exact(centroids):  # (B, C, 3) -> (B, C, nsample)
         d2 = square_distance(centroids, xyz)  # (B, C, N)
         order = jnp.where(d2 < r2, jax.lax.broadcasted_iota(jnp.int32, d2.shape, 2), N)
@@ -96,6 +108,25 @@ def ball_query_multi(
     widths = [ns for _, ns in specs]
 
     kmax = max(widths)
+
+    if method == "approx":
+        from pointrcnn_tpu.ops.pallas_ballquery import (
+            ball_query_pallas,
+            ball_query_pallas_supported,
+        )
+
+        if ball_query_pallas_supported(N, new_xyz.shape[1], kmax):
+            vals, idx = ball_query_pallas(xyz, new_xyz, kmax)
+            outs = []
+            for radius, nsample in specs:
+                r2 = jnp.float32(radius) ** 2
+                v, i = vals[..., :nsample], idx[..., :nsample]
+                in_r = v < r2
+                first = i[..., :1]
+                outs.append(
+                    jnp.where(in_r, i, jnp.where(in_r[..., :1], first, 0))
+                )
+            return outs
 
     def per_chunk(centroids):
         d2 = square_distance(centroids, xyz)

@@ -42,23 +42,44 @@ def roipool3d(
     big = enlarge_box3d(boxes3d, extra_width)
     mask = points_in_boxes3d(xyz, big)  # (B, M, N)
 
-    order = jnp.where(mask, jax.lax.broadcasted_iota(jnp.int32, mask.shape, 2), N)
-    use_approx = method == "approx" or (
-        method == "auto"
-        and jax.default_backend() in ("tpu", "axon")
-        and N >= 4096
-    )
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    use_approx = method == "approx" or (method == "auto" and on_tpu and N >= 4096)
     if use_approx:
-        # approx_min_k (TPU PartialReduce) beats the full sort top_k lowers
-        # to; ints below 2^24 are exact in f32. Selection becomes
-        # "approximately the first K in point order" — upstream shuffling
-        # makes point order random, so any in-box subset is equivalent.
+        # default TPU path: approx_min_k (PartialReduce) over order keys —
+        # "approximately the first K in point order".  Upstream shuffling
+        # makes point order random, so any in-box subset is equivalent; the
+        # A/B harness (tools/ab_approximations.py) measured bit-identical
+        # final boxes vs exact.
+        order = jnp.where(
+            mask, jax.lax.broadcasted_iota(jnp.int32, mask.shape, 2), N
+        )
         vals, _ = jax.lax.approx_min_k(order.astype(jnp.float32), num_sampled)
         hits = vals.astype(jnp.int32)
         # recall<1 can leave no-hit sentinels among real hits; backfill with
         # the first hit so downstream cyclic duplication stays in-box
         hits = jnp.where(hits >= N, jnp.minimum(hits[..., 0:1], N - 1), hits)
+    elif on_tpu:
+        # EXACT first-K-in-order via hit ranks: the k-th selected point is
+        # the one whose running hit count equals k, extracted by a
+        # compare-and-reduce the compiler fuses (no (B, M, N, K) tensor in
+        # HBM).  ~5x faster than the full sort top_k lowers to, making the
+        # config-selectable exact path cheap (~2.6 ms over approx at RCNN
+        # eval shapes instead of ~40 ms).
+        rank = jnp.cumsum(mask, axis=-1, dtype=jnp.int32) - 1  # (B, M, N)
+        kk = jnp.arange(num_sampled, dtype=jnp.int32)
+        sel = (rank[..., None] == kk) & mask[..., None]  # (B, M, N, K)
+        iota_n = jnp.arange(N, dtype=jnp.float32)
+        # integer indices up to N must survive the dot exactly -> HIGHEST
+        hits = jnp.einsum(
+            "bmnk,n->bmk", sel.astype(jnp.float32), iota_n,
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(jnp.int32)
+        # slots past the hit count come out 0; cyclic duplication below only
+        # reads slots < cnt, so no sentinel/backfill is needed
     else:
+        order = jnp.where(
+            mask, jax.lax.broadcasted_iota(jnp.int32, mask.shape, 2), N
+        )
         neg, _ = jax.lax.top_k(-order, num_sampled)
         hits = -neg  # (B, M, K) ascending first-hit indices, N where no hit
     cnt = jnp.sum(mask, axis=-1)  # (B, M)

@@ -70,6 +70,27 @@ def main():
         bad += int((((d2 > 1.0 + 1e-4).any(1)) & (hits > 0)).sum())
     check("approx ball query in-radius", bad == 0, f"{bad} bad rows")
 
+    # 3a) fused Pallas ball query: distance consistency + recall vs exact kNN
+    from pointrcnn_tpu.ops.pallas_ballquery import (
+        ball_query_pallas,
+        ball_query_pallas_supported,
+    )
+
+    assert ball_query_pallas_supported(16384, 4096, 32)
+    d2_p, i_p2 = jax.device_get(
+        jax.jit(lambda p, c: ball_query_pallas(p, c, 32))(pts, pts[:, :4096])
+    )
+    p_np = jax.device_get(pts)
+    err, rec, cnt = 0.0, 0.0, 0
+    for b in range(2):
+        for s in np.random.RandomState(3).choice(4096, 32, replace=False):
+            dd = ((p_np[b, s][None] - p_np[b]) ** 2).sum(-1)
+            err = max(err, float(np.abs(dd[i_p2[b, s]] - d2_p[b, s]).max()))
+            rec += len(set(i_p2[b, s]) & set(np.argsort(dd)[:32])) / 32
+            cnt += 1
+    check("pallas ball query dists", err < 1e-5, f"max err {err:.1e}")
+    check("pallas ball query recall", rec / cnt > 0.9, f"recall {rec/cnt:.3f}")
+
     # 3b) Pallas 3-NN vs exact iterative extraction
     from pointrcnn_tpu.ops.pallas_knn import three_nn_pallas
 
