@@ -46,9 +46,31 @@ class SetAbstractionMSG(nn.Module):
         (new_xyz (B, npoint, 3), new_features (B, npoint, sum(mlp[-1])))."""
         fps_idx = furthest_point_sample(xyz, self.npoint)
         new_xyz = gather_points(xyz, fps_idx)
+        specs = tuple(zip(self.radii, self.nsamples))
+
+        if features is None and self.use_xyz and self.query_method == "approx":
+            # xyz-only stage: the fused ball-query kernel emits the grouped
+            # relative coordinates directly — no neighborhood gather at all
+            from pointrcnn_tpu.ops.pallas_ballquery import (
+                ball_query_multi_grouped_pallas,
+                ball_query_pallas_supported,
+            )
+
+            if ball_query_pallas_supported(
+                xyz.shape[1], new_xyz.shape[1], max(self.nsamples)
+            ):
+                rels = ball_query_multi_grouped_pallas(xyz, new_xyz, specs)
+                dt = self.dtype or xyz.dtype
+                outs = [
+                    SharedMLP(tuple(mlp), bn=self.bn, dtype=self.dtype)(
+                        rel.astype(dt), train, bn_momentum, reduce_max=True
+                    )
+                    for rel, mlp in zip(rels, self.mlps)
+                ]
+                return new_xyz, jnp.concatenate(outs, axis=-1)
 
         idx_list = ball_query_multi(
-            xyz, new_xyz, tuple(zip(self.radii, self.nsamples)),
+            xyz, new_xyz, specs,
             chunk=self.ball_chunk, method=self.query_method,
         )
         outs = []

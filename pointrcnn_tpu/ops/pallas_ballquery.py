@@ -39,10 +39,11 @@ _W = 512  # stride classes = selection candidates per centroid
 _BIG = 3.0e38  # python float: jnp scalars would be captured consts in the kernel
 
 
-def _make_kernel(N: int, kmax: int, w: int):
+def _make_kernel(N: int, kmax: int, w: int, emit_rel: bool):
     def kernel(cent_ref, kt_ref, out_ref):
         """cent_ref: (1, chunk, 3); kt_ref: (1, 3, N); out_ref:
-        (1, chunk, 2*kmax) packed [dist | idx-as-f32]."""
+        (1, chunk, (2 + 3*emit_rel)*kmax) packed
+        [dist | idx-as-f32 (| relx | rely | relz)]."""
         c = cent_ref[0]  # (chunk, 3)
         chunk = c.shape[0]
         cx, cy, cz = c[:, 0:1], c[:, 1:2], c[:, 2:3]
@@ -52,6 +53,10 @@ def _make_kernel(N: int, kmax: int, w: int):
         # stride-class running min: class j keeps its nearest point
         v = jnp.full((chunk, _W), _BIG, jnp.float32)
         g = jnp.zeros((chunk, _W), jnp.int32)
+        if emit_rel:
+            gx = jnp.zeros((chunk, _W), jnp.float32)
+            gy = jnp.zeros((chunk, _W), jnp.float32)
+            gz = jnp.zeros((chunk, _W), jnp.float32)
         for j in range(w):
             kt = kt_ref[0, :, j * _W : (j + 1) * _W]  # (3, W)
             # direct diffs: the matmul form loses ~1e-2 m to f32
@@ -64,34 +69,56 @@ def _make_kernel(N: int, kmax: int, w: int):
             upd = d2 < v
             g = jnp.where(upd, j * _W + col, g)
             v = jnp.where(upd, d2, v)
+            if emit_rel:
+                gx = jnp.where(upd, jnp.broadcast_to(kt[0:1, :], (chunk, _W)), gx)
+                gy = jnp.where(upd, jnp.broadcast_to(kt[1:2, :], (chunk, _W)), gy)
+                gz = jnp.where(upd, jnp.broadcast_to(kt[2:3, :], (chunk, _W)), gz)
 
         # ascending k-extraction from the class minima
         gf = g.astype(jnp.float32)
         lane = jax.lax.broadcasted_iota(jnp.int32, (chunk, kmax), 1)
         out_d = jnp.zeros((chunk, kmax), jnp.float32)
         out_i = jnp.zeros((chunk, kmax), jnp.float32)
+        if emit_rel:
+            out_x = jnp.zeros((chunk, kmax), jnp.float32)
+            out_y = jnp.zeros((chunk, kmax), jnp.float32)
+            out_z = jnp.zeros((chunk, kmax), jnp.float32)
         for k in range(kmax):
             m = jnp.min(v, axis=1, keepdims=True)  # (chunk, 1)
             wcol = jnp.min(jnp.where(v == m, col, 2**30), axis=1, keepdims=True)
-            win = jnp.min(jnp.where(col == wcol, gf, _BIG), axis=1, keepdims=True)
-            out_d = out_d + jnp.where(lane == k, m, 0.0)
-            out_i = out_i + jnp.where(lane == k, win, 0.0)
-            v = jnp.where(col == wcol, _BIG, v)
+            at_w = col == wcol
+            win = jnp.min(jnp.where(at_w, gf, _BIG), axis=1, keepdims=True)
+            sel = lane == k
+            out_d = out_d + jnp.where(sel, m, 0.0)
+            out_i = out_i + jnp.where(sel, win, 0.0)
+            if emit_rel:
+                wx = jnp.min(jnp.where(at_w, gx, _BIG), axis=1, keepdims=True)
+                wy = jnp.min(jnp.where(at_w, gy, _BIG), axis=1, keepdims=True)
+                wz = jnp.min(jnp.where(at_w, gz, _BIG), axis=1, keepdims=True)
+                out_x = out_x + jnp.where(sel, wx - cx, 0.0)
+                out_y = out_y + jnp.where(sel, wy - cy, 0.0)
+                out_z = out_z + jnp.where(sel, wz - cz, 0.0)
+            v = jnp.where(at_w, _BIG, v)
 
-        out_ref[0] = jnp.concatenate([out_d, out_i], axis=1)
+        parts = [out_d, out_i]
+        if emit_rel:
+            parts += [out_x, out_y, out_z]
+        out_ref[0] = jnp.concatenate(parts, axis=1)
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("kmax",))
-def _ball_query_pallas(cent: jnp.ndarray, known_t: jnp.ndarray, kmax: int):
+@functools.partial(jax.jit, static_argnames=("kmax", "emit_rel"))
+def _ball_query_pallas(cent: jnp.ndarray, known_t: jnp.ndarray, kmax: int,
+                       emit_rel: bool = False):
     B, S, _ = cent.shape
     N = known_t.shape[2]
     chunk = 128
     while S % chunk:
         chunk //= 2
+    width = (2 + 3 * emit_rel) * kmax
     packed = pl.pallas_call(
-        _make_kernel(N, kmax, N // _W),
+        _make_kernel(N, kmax, N // _W, emit_rel),
         grid=(B, S // chunk),
         in_specs=[
             pl.BlockSpec((1, chunk, 3), lambda b, s: (b, s, 0),
@@ -99,13 +126,20 @@ def _ball_query_pallas(cent: jnp.ndarray, known_t: jnp.ndarray, kmax: int):
             pl.BlockSpec((1, 3, N), lambda b, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, chunk, 2 * kmax), lambda b, s: (b, s, 0),
+        out_specs=pl.BlockSpec((1, chunk, width), lambda b, s: (b, s, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, S, 2 * kmax), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, S, width), jnp.float32),
     )(cent, known_t)
     dist2 = packed[..., :kmax]
-    idx = packed[..., kmax:].astype(jnp.int32)
-    return dist2, idx
+    idx = packed[..., kmax : 2 * kmax].astype(jnp.int32)
+    if not emit_rel:
+        return dist2, idx
+    rel = jnp.stack(
+        [packed[..., 2 * kmax + i * kmax : 2 * kmax + (i + 1) * kmax]
+         for i in range(3)],
+        axis=-1,
+    )  # (B, S, kmax, 3)
+    return dist2, idx, rel
 
 
 def ball_query_pallas_supported(N: int, S: int, kmax: int) -> bool:
@@ -126,3 +160,35 @@ def ball_query_pallas(xyz: jnp.ndarray, new_xyz: jnp.ndarray, kmax: int):
     """
     known_t = jnp.transpose(xyz.astype(jnp.float32), (0, 2, 1))
     return _ball_query_pallas(new_xyz.astype(jnp.float32), known_t, kmax)
+
+
+def ball_query_multi_grouped_pallas(xyz, new_xyz, specs):
+    """Ball query + xyz-only neighborhood grouping, fused.
+
+    For SA stages with no input features (RPN stage 1: the backbone consumes
+    raw xyz only, lib/net/pointnet2_msg.py + cfg USE_INTENSITY=False) the
+    neighborhood gather fetches nothing but coordinates — which the kernel
+    already holds per candidate class.  Emitting relative coordinates from
+    the kernel removes the XLA row-gather entirely (~6 ms/batch-4 at RPN
+    stage-1 scale).
+
+    :return: list over specs of rel_xyz (B, S, nsample, 3) f32 with CUDA
+        QueryAndGroup fill semantics (slots past the hit count repeat the
+        first hit; rows with no hit fall back to point 0, matching
+        group_points on an all-zero index row).
+    """
+    kmax = max(ns for _, ns in specs)
+    known_t = jnp.transpose(xyz.astype(jnp.float32), (0, 2, 1))
+    cent = new_xyz.astype(jnp.float32)
+    dist2, idx, rel = _ball_query_pallas(cent, known_t, kmax, emit_rel=True)
+    # rel of point 0 relative to each centroid: the all-empty fallback
+    rel0 = xyz[:, 0:1, None, :] - new_xyz[:, :, None, :]  # (B, S, 1, 3)
+    outs = []
+    for radius, nsample in specs:
+        r2 = jnp.float32(radius) ** 2
+        in_r = (dist2[..., :nsample] < r2)[..., None]  # (B, S, ns, 1)
+        r = rel[..., :nsample, :]
+        first = r[..., 0:1, :]
+        any_hit = in_r[..., 0:1, :]
+        outs.append(jnp.where(in_r, r, jnp.where(any_hit, first, rel0)))
+    return outs

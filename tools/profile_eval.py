@@ -94,6 +94,29 @@ def main():
                    pts, feats, rois, sync=lambda o: o)
     print(f"  roipool 100x512:      {t_pool:7.2f} ms")
 
+    # proposal layer (decode + distance-zone NMS) at eval scale
+    rng2 = np.random.RandomState(7)
+    scores = jnp.asarray(rng2.randn(BATCH, n).astype(np.float32))
+    regs = jnp.asarray(rng2.randn(BATCH, n, 76).astype(np.float32) * 0.1)
+    t_prop = bench(
+        jax.jit(lambda s, r, x: proposal_layer(cfg, "TEST", s, r, x)[0]),
+        scores, regs, pts, sync=lambda o: o[:1, :1, :1])
+    print(f"  proposal layer+NMS:   {t_prop:7.2f} ms")
+
+    # RCNN net from pooled canonical points (eval branch shapes)
+    from pointrcnn_tpu.models.rcnn import RCNNNet, rcnn_input_channels
+
+    rcnn = RCNNNet(cfg=cfg, num_classes=2)
+    cin = rcnn_input_channels(cfg)
+    pooled = jnp.asarray(
+        rng2.randn(BATCH * 100, cfg.RCNN.NUM_POINTS, cin).astype(np.float32))
+    v_rcnn = jax.jit(rcnn.init, static_argnames="train")(
+        jax.random.PRNGKey(0), pooled, train=False)
+    t_rcnn = bench(
+        jax.jit(lambda v, p: rcnn.apply(v, p, train=False)["rcnn_cls"]),
+        v_rcnn, pooled, sync=lambda o: o[:1])
+    print(f"  RCNN net (400 rois):  {t_rcnn:7.2f} ms")
+
 
 if __name__ == "__main__":
     main()
