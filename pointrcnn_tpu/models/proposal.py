@@ -46,27 +46,54 @@ def _zone_proposals(boxes, scores, zone_valid, pre_n, post_n, nms_thresh, rotate
     return out_boxes, out_scores, keep_valid
 
 
+def _zone2_with_fallback(proposals, scores, pre1):
+    """Per-batch zone masks with the zone-2 fallback (reference
+    proposal_layer.py:92-100): when a sample's 40-80m zone is empty, its
+    zone-2 budget reuses zone-1 boxes ranked past the zone-1 pre budget.
+    The fallback needs a full per-sample score sort, but fires only for
+    degenerate scenes — so it sits behind a batch-level ``lax.cond`` and
+    costs nothing on the common path.  proposals (B, N, 7), scores (B, N)."""
+    dist = proposals[..., 2]
+    mask1 = (dist > NMS_RANGES[0]) & (dist <= NMS_RANGES[1])
+    mask2 = (dist > NMS_RANGES[1]) & (dist <= NMS_RANGES[2])
+    has2 = jnp.any(mask2, axis=1)  # (B,)
+
+    def fallback():
+        def one(m1, s):
+            n = s.shape[0]
+            order = jnp.argsort(-s)
+            rank_in_1 = jnp.cumsum(m1[order]) - 1  # rank within zone 1
+            leftover_sorted = m1[order] & (rank_in_1 >= pre1)
+            return jnp.zeros((n,), bool).at[order].set(leftover_sorted)
+
+        return jax.vmap(one)(mask1, scores)
+
+    leftover = jax.lax.cond(jnp.all(has2), lambda: jnp.zeros_like(mask2), fallback)
+    zone2 = jnp.where(has2[:, None], mask2, leftover)
+    return mask1, zone2
+
+
 def distance_based_proposal(
     proposals, scores, pre_top_n, post_top_n, nms_thresh, rotated, max_cand
 ):
     """Single-sample zoned proposal selection (reference
     proposal_layer.py:58-119).  proposals (N, 7), scores (N,)."""
-    n = scores.shape[0]
+    mask1, zone2 = _zone2_with_fallback(
+        proposals[None], scores[None], int(pre_top_n * 0.7)
+    )
+    return _distance_zones_nms(
+        proposals, scores, mask1[0], zone2[0],
+        pre_top_n, post_top_n, nms_thresh, rotated, max_cand,
+    )
+
+
+def _distance_zones_nms(
+    proposals, scores, mask1, zone2, pre_top_n, post_top_n, nms_thresh, rotated, max_cand
+):
+    """Zoned NMS on one sample with precomputed zone masks
+    (:func:`_zone2_with_fallback`)."""
     pre_list = (int(pre_top_n * 0.7), pre_top_n - int(pre_top_n * 0.7))
     post_list = (int(post_top_n * 0.7), post_top_n - int(post_top_n * 0.7))
-
-    dist = proposals[:, 2]
-    mask1 = (dist > NMS_RANGES[0]) & (dist <= NMS_RANGES[1])
-    mask2 = (dist > NMS_RANGES[1]) & (dist <= NMS_RANGES[2])
-
-    # zone-2 fallback: when empty, reuse zone-1 boxes ranked past its pre
-    # budget (reference proposal_layer.py:92-100)
-    has2 = jnp.any(mask2)
-    order = jnp.argsort(-scores)
-    rank_in_1 = jnp.cumsum(mask1[order]) - 1  # rank of each ordered box within zone 1
-    leftover_sorted = mask1[order] & (rank_in_1 >= pre_list[0])
-    leftover = jnp.zeros((n,), bool).at[order].set(leftover_sorted)
-    zone2 = jnp.where(has2, mask2, leftover)
 
     b1, s1, v1 = _zone_proposals(
         proposals, scores, mask1, pre_list[0], post_list[0], nms_thresh, rotated, max_cand
@@ -117,14 +144,19 @@ def proposal_layer(cfg, mode: str, rpn_scores, rpn_reg, xyz):
     proposals = proposals.reshape(B, N, 7)
 
     rotated = cfg.RPN.NMS_TYPE == "rotate"
-    fn = distance_based_proposal if mode_cfg.RPN_DISTANCE_BASED_PROPOSE else score_based_proposal
+    common = (
+        mode_cfg.RPN_PRE_NMS_TOP_N,
+        mode_cfg.RPN_POST_NMS_TOP_N,
+        mode_cfg.RPN_NMS_THRESH,
+        rotated,
+        cfg.RPN.NMS_MAX_CANDIDATES,
+    )
+    if mode_cfg.RPN_DISTANCE_BASED_PROPOSE:
+        pre1 = int(mode_cfg.RPN_PRE_NMS_TOP_N * 0.7)
+        mask1, zone2 = _zone2_with_fallback(proposals, rpn_scores, pre1)
+        return jax.vmap(
+            lambda p, s, m1, z2: _distance_zones_nms(p, s, m1, z2, *common)
+        )(proposals, rpn_scores, mask1, zone2)
     return jax.vmap(
-        lambda p, s: fn(
-            p, s,
-            mode_cfg.RPN_PRE_NMS_TOP_N,
-            mode_cfg.RPN_POST_NMS_TOP_N,
-            mode_cfg.RPN_NMS_THRESH,
-            rotated,
-            cfg.RPN.NMS_MAX_CANDIDATES,
-        )
+        lambda p, s: score_based_proposal(p, s, *common)
     )(proposals, rpn_scores)

@@ -9,9 +9,18 @@ derived inside lib/utils/loss_utils.py:87-233).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from pointrcnn_tpu.utils.box_ops import rotate_pc_along_y
+
+
+def _take_bin(block: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """(R, nbins) x (R,) -> (R,): per-row residual pick as a compare-and-
+    reduce (TPU lowers take_along_axis to a serialized per-row gather —
+    ~0.4 ms per call at RPN decode scale; this fuses to nothing)."""
+    cols = jax.lax.broadcasted_iota(jnp.int32, block.shape, 1)
+    return jnp.sum(jnp.where(cols == idx[:, None], block, 0), axis=1)
 
 
 def reg_channel_count(
@@ -70,8 +79,8 @@ def decode_bbox_target(
         x_res_l, x_res_r = per_loc_bin_num * 2, per_loc_bin_num * 3
         z_res_l, z_res_r = per_loc_bin_num * 3, per_loc_bin_num * 4
         start = z_res_r
-        x_res = jnp.take_along_axis(pred_reg[:, x_res_l:x_res_r], x_bin[:, None], axis=1)[:, 0]
-        z_res = jnp.take_along_axis(pred_reg[:, z_res_l:z_res_r], z_bin[:, None], axis=1)[:, 0]
+        x_res = _take_bin(pred_reg[:, x_res_l:x_res_r], x_bin)
+        z_res = _take_bin(pred_reg[:, z_res_l:z_res_r], z_bin)
         pos_x = pos_x + x_res * loc_bin_size
         pos_z = pos_z + z_res * loc_bin_size
 
@@ -81,7 +90,7 @@ def decode_bbox_target(
         y_res_l, y_res_r = y_bin_r, y_bin_r + loc_y_bin_num
         start = y_res_r
         y_bin = jnp.argmax(pred_reg[:, y_bin_l:y_bin_r], axis=1)
-        y_res = jnp.take_along_axis(pred_reg[:, y_res_l:y_res_r], y_bin[:, None], axis=1)[:, 0]
+        y_res = _take_bin(pred_reg[:, y_res_l:y_res_r], y_bin)
         pos_y = (
             y_bin.astype(pred_reg.dtype) * loc_y_bin_size
             + loc_y_bin_size / 2
@@ -97,7 +106,7 @@ def decode_bbox_target(
     ry_bin_l, ry_bin_r = start, start + num_head_bin
     ry_res_l, ry_res_r = ry_bin_r, ry_bin_r + num_head_bin
     ry_bin = jnp.argmax(pred_reg[:, ry_bin_l:ry_bin_r], axis=1)
-    ry_res_norm = jnp.take_along_axis(pred_reg[:, ry_res_l:ry_res_r], ry_bin[:, None], axis=1)[:, 0]
+    ry_res_norm = _take_bin(pred_reg[:, ry_res_l:ry_res_r], ry_bin)
     if get_ry_fine:
         # pi/2 bins offset by -pi/4 (RCNN refinement)
         angle_per_class = (np.pi / 2) / num_head_bin
