@@ -6,16 +6,24 @@ neighborhood gather either materialises the (B, S, K, C) tensor in HBM
 (one-hot matmul formulation, ~6 GB of traffic per RCNN batch) or serialises
 through XLA's native gather (~24 ms for the RCNN stage's 3.3M rows).  This
 kernel does neither: per centroid chunk it builds the one-hot selection
-matrix *in VMEM*, gathers features and geometry with ONE MXU matmul against
-the VMEM-resident point table, applies the whole MLP stack and the K-max
-in-core, and writes back only the (B, S, Cout) maxima.
+matrix *in VMEM*, gathers with ONE MXU matmul against the VMEM-resident
+table, applies the MLP stack and the K-max in-core, and writes back only the
+(B, S, Cout) maxima.
 
-Geometry precision: a bf16 gather of absolute coordinates would round ~70 m
-scene positions to ~0.3 m, so coordinates ride along as a bf16 hi/lo split
-(x = hi + lo with hi = bf16(x), lo = bf16(x - hi), reconstruction error
-~0.6 mm at 70 m) packed into extra table lanes; the first-layer weight rows
-for xyz are duplicated so hi and lo recombine inside the layer-1 matmul:
-(hi - c)·w + lo·w = (x - c)·w.
+Two flop-saving table tricks:
+
+- **Layer-1 commute (features)**: the feature half of layer 1 is linear and
+  per-point, so it commutes with the gather — the table stores
+  ``P = features @ w0_feat`` (f0 lanes) instead of raw features (C lanes).
+  The gather matmul then costs f0 lanes instead of C, and layer 1's feature
+  matmul disappears from the per-neighbor (rows = S*K) domain entirely.  No
+  cancellation risk: P carries no positional term.
+- **Geometry hi/lo split**: relative coordinates must be formed by
+  *subtraction after the gather* (commuting them through bf16 would lose
+  the (x - c) signal to cancellation at scene coordinates), so coordinates
+  ride along as a bf16 hi/lo pair (x = hi + lo, reconstruction ~0.6 mm at
+  70 m) in extra table lanes; the layer-1 xyz weight rows are duplicated so
+  hi and lo recombine inside the in-kernel matmul: (hi - c)w + lo*w = (x-c)w.
 
 Used by models.layers.SharedMLP on the eval path (BatchNorm folded into the
 weights); training keeps the XLA formulation (batch statistics need the full
@@ -50,16 +58,16 @@ def _pick_chunk(S: int, K: int) -> int:
     return chunk
 
 
-def _make_kernel(n_layers: int, K: int, C: int, use_xyz: bool):
+def _make_kernel(n_layers: int, K: int, f0p: int, use_xyz: bool):
     def kernel(*refs):
-        # refs: table, idx, [cent, w0x], w0f, w1.., b0.., out
+        # refs: table, idx, [cent, w0x], w1.., b0.., out
         p = 0
         table_ref = refs[p]; p += 1
         idx_ref = refs[p]; p += 1
         if use_xyz:
             cent_ref = refs[p]; p += 1
             w0x_ref = refs[p]; p += 1
-        ws = refs[p : p + n_layers]; p += n_layers
+        ws = refs[p : p + n_layers - 1]; p += n_layers - 1
         bs = refs[p : p + n_layers]; p += n_layers
         out_ref = refs[p]
 
@@ -73,13 +81,13 @@ def _make_kernel(n_layers: int, K: int, C: int, use_xyz: bool):
         cols3 = jax.lax.broadcasted_iota(jnp.int32, (s_chunk, K, n), 2)
         oh = (cols3 == idx3).astype(jnp.bfloat16).reshape(rows, n)
 
-        # ONE matmul gathers features and hi/lo geometry together
+        # ONE matmul gathers the commuted layer-1 partials and hi/lo
+        # geometry together
         g = jnp.dot(oh, table_ref[0], preferred_element_type=jnp.float32)
 
-        x = jnp.dot(g[:, :C].astype(jnp.bfloat16), ws[0][...].astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32)
+        x = g[:, :f0p]  # feature half of layer-1 pre-activation
         if use_xyz:
-            geo = g[:, C:]  # (rows, _GEO): xyz-hi in 0:3, xyz-lo in 3:6
+            geo = g[:, f0p:]  # (rows, _GEO): xyz-hi in 0:3, xyz-lo in 3:6
             rel = (geo.reshape(s_chunk, K, _GEO)
                    - cent_ref[0][:, None, :]).reshape(rows, _GEO)
             x = x + jnp.dot(rel.astype(jnp.bfloat16),
@@ -88,7 +96,7 @@ def _make_kernel(n_layers: int, K: int, C: int, use_xyz: bool):
 
         x = jnp.maximum(x + bs[0][...].astype(jnp.float32), 0.0)
         for i in range(1, n_layers):
-            x = jnp.dot(x.astype(jnp.bfloat16), ws[i][...].astype(jnp.bfloat16),
+            x = jnp.dot(x.astype(jnp.bfloat16), ws[i - 1][...].astype(jnp.bfloat16),
                         preferred_element_type=jnp.float32)
             x = jnp.maximum(x + bs[i][...].astype(jnp.float32), 0.0)
 
@@ -98,12 +106,12 @@ def _make_kernel(n_layers: int, K: int, C: int, use_xyz: bool):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("use_xyz", "C"))
-def _fused_group(table, idx, cent, w0x, w0f, ws, bs, use_xyz, C):
+@functools.partial(jax.jit, static_argnames=("use_xyz", "f0p"))
+def _fused_group(table, idx, cent, w0x, ws, bs, use_xyz, f0p):
     B, N, CT = table.shape
     S, K = idx.shape[1], idx.shape[2]
     n_layers = 1 + len(ws)
-    cout = (ws[-1] if ws else w0f).shape[1]
+    cout = bs[-1].shape[1]
     chunk_s = _pick_chunk(S, K)
     grid = (B, S // chunk_s)
 
@@ -120,8 +128,6 @@ def _fused_group(table, idx, cent, w0x, w0f, ws, bs, use_xyz, C):
         operands.append(cent)
         in_specs.append(pl.BlockSpec(w0x.shape, fixed, memory_space=pltpu.VMEM))
         operands.append(w0x)
-    in_specs.append(pl.BlockSpec(w0f.shape, fixed, memory_space=pltpu.VMEM))
-    operands.append(w0f)
     for w in ws:
         in_specs.append(pl.BlockSpec(w.shape, fixed, memory_space=pltpu.VMEM))
         operands.append(w)
@@ -130,7 +136,7 @@ def _fused_group(table, idx, cent, w0x, w0f, ws, bs, use_xyz, C):
         operands.append(b)
 
     return pl.pallas_call(
-        _make_kernel(n_layers, K, C, use_xyz),
+        _make_kernel(n_layers, K, f0p, use_xyz),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
@@ -147,7 +153,11 @@ def fused_group_mlp_max_supported(features, idx) -> bool:
         return False
     B, N, C = features.shape
     S, K = idx.shape[1], idx.shape[2]
-    return N <= _MAX_N and C % 128 == 0 and _pick_chunk(S, K) >= 8
+    return N <= _MAX_N and _pick_chunk(S, K) >= 8
+
+
+def _ceil128(x: int) -> int:
+    return (x + 127) // 128 * 128
 
 
 def fused_group_mlp_max(xyz, features, new_xyz, idx, weights, biases,
@@ -163,28 +173,49 @@ def fused_group_mlp_max(xyz, features, new_xyz, idx, weights, biases,
     B, N, C = features.shape
     S = idx.shape[1]
     w0 = weights[0]
-    feat_b = features.astype(jnp.bfloat16)
+    f0 = w0.shape[1]
+    f0p = _ceil128(f0)
+
+    def pad_lanes(a, width, axis):
+        pads = [(0, 0)] * a.ndim
+        pads[axis] = (0, width - a.shape[axis])
+        return jnp.pad(a, pads) if width != a.shape[axis] else a
+
     if use_xyz:
         w0x3, w0f = w0[:3], w0[3:]
-        f0 = w0.shape[1]
+    else:
+        w0f = w0
+    # layer-1 commute: P = features @ w0_feat rides in the table instead of
+    # raw features (bf16 inputs feed the MXU, matching the kernel's own
+    # compute dtype)
+    P = jnp.dot(features.astype(jnp.bfloat16), w0f.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+    P = pad_lanes(P.astype(jnp.bfloat16), f0p, 2)
+    if use_xyz:
         # hi/lo split so geometry survives the bf16 gather exactly
         xhi = xyz.astype(jnp.bfloat16)
         xlo = (xyz - xhi.astype(jnp.float32)).astype(jnp.bfloat16)
         geo = jnp.zeros((B, N, _GEO), jnp.bfloat16)
         geo = geo.at[..., 0:3].set(xhi).at[..., 3:6].set(xlo)
-        table = jnp.concatenate([feat_b, geo], axis=-1)
+        table = jnp.concatenate([P, geo], axis=-1)
         cent = jnp.zeros((B, S, _GEO), jnp.float32).at[..., 0:3].set(new_xyz)
         # duplicate xyz weight rows: (hi - c) w + lo w == (xyz - c) w
-        w0x = jnp.zeros((_GEO, f0), jnp.float32)
-        w0x = w0x.at[0:3].set(w0x3).at[3:6].set(w0x3)
+        w0x = jnp.zeros((_GEO, f0p), jnp.float32)
+        w0x = w0x.at[0:3, :f0].set(w0x3).at[3:6, :f0].set(w0x3)
     else:
-        table, cent, w0x, w0f = feat_b, None, None, w0
-    ws = [w.astype(jnp.float32) for w in weights[1:]]
-    bs = [b.reshape(1, -1).astype(jnp.float32) for b in biases]
-    return _fused_group(
-        table, idx.astype(jnp.int32), cent,
-        w0x, w0f.astype(jnp.float32), tuple(ws), tuple(bs), use_xyz, C,
+        table, cent, w0x = P, None, None
+    # padded layer-1 lanes carry zero P, zero bias and zero w1 rows, so they
+    # stay zero through the ReLU and contribute nothing downstream
+    ws = [pad_lanes(weights[1].astype(jnp.float32), f0p, 0)] if len(weights) > 1 else []
+    ws += [w.astype(jnp.float32) for w in weights[2:]]
+    bs = [pad_lanes(biases[0].reshape(1, -1).astype(jnp.float32), f0p, 1)]
+    bs += [b.reshape(1, -1).astype(jnp.float32) for b in biases[1:]]
+    out = _fused_group(
+        table, idx.astype(jnp.int32), cent, w0x, tuple(ws), tuple(bs),
+        use_xyz, f0p,
     )
+    # single-layer stacks max over the padded layer-1 lanes; trim them
+    return out[..., :f0] if len(weights) == 1 else out
 
 
 def fused_mlp_max(grouped, weights, biases, compute_dtype=jnp.bfloat16):
