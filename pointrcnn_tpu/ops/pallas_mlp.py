@@ -189,21 +189,24 @@ def fused_group_mlp_max(xyz, features, new_xyz, idx, weights, biases,
     # raw features (bf16 inputs feed the MXU, matching the kernel's own
     # compute dtype)
     P = jnp.dot(features.astype(jnp.bfloat16), w0f.astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32)
-    P = pad_lanes(P.astype(jnp.bfloat16), f0p, 2)
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
     if use_xyz:
-        # hi/lo split so geometry survives the bf16 gather exactly
+        # hi/lo split so geometry survives the bf16 gather exactly; ONE
+        # concatenate builds the whole table (pad + .at[].set would cost
+        # two extra full-tensor HBM rewrites at ~26 MB each)
         xhi = xyz.astype(jnp.bfloat16)
         xlo = (xyz - xhi.astype(jnp.float32)).astype(jnp.bfloat16)
-        geo = jnp.zeros((B, N, _GEO), jnp.bfloat16)
-        geo = geo.at[..., 0:3].set(xhi).at[..., 3:6].set(xlo)
-        table = jnp.concatenate([P, geo], axis=-1)
-        cent = jnp.zeros((B, S, _GEO), jnp.float32).at[..., 0:3].set(new_xyz)
+        zero_pf = jnp.zeros((B, N, f0p - f0), jnp.bfloat16)
+        zero_geo = jnp.zeros((B, N, _GEO - 6), jnp.bfloat16)
+        table = jnp.concatenate([P, zero_pf, xhi, xlo, zero_geo], axis=-1)
+        cent = jnp.concatenate(
+            [new_xyz.astype(jnp.float32),
+             jnp.zeros((B, S, _GEO - 3), jnp.float32)], axis=-1)
         # duplicate xyz weight rows: (hi - c) w + lo w == (xyz - c) w
         w0x = jnp.zeros((_GEO, f0p), jnp.float32)
         w0x = w0x.at[0:3, :f0].set(w0x3).at[3:6, :f0].set(w0x3)
     else:
-        table, cent, w0x = P, None, None
+        table, cent, w0x = pad_lanes(P, f0p, 2), None, None
     # padded layer-1 lanes carry zero P, zero bias and zero w1 rows, so they
     # stay zero through the ReLU and contribute nothing downstream
     ws = [pad_lanes(weights[1].astype(jnp.float32), f0p, 0)] if len(weights) > 1 else []

@@ -88,7 +88,20 @@ def roipool3d(
     k = jax.lax.broadcasted_iota(jnp.int32, hits.shape, 2)
     wrap = k % jnp.maximum(cnt[..., None], 1)
     sel = jnp.where(k < cnt[..., None], k, wrap)
-    idx = jnp.take_along_axis(hits, sel, axis=-1)
+    if on_tpu:
+        # lane-wise wrap-gather as a one-hot contraction: XLA lowers
+        # take_along_axis here to a serialized per-element gather (~2.6 ms at
+        # eval shapes); the compare+reduce fuses on-chip instead (~2.4x).
+        # HIGHEST keeps the single-nonzero dot bit-exact (indices < N << 2^24).
+        oh = (sel[..., None] == jnp.arange(num_sampled, dtype=jnp.int32)).astype(
+            jnp.float32
+        )
+        idx = jnp.einsum(
+            "bmkj,bmj->bmk", oh, hits.astype(jnp.float32),
+            precision=jax.lax.Precision.HIGHEST,
+        ).astype(jnp.int32)
+    else:
+        idx = jnp.take_along_axis(hits, sel, axis=-1)
     idx = jnp.where(empty[..., None], 0, idx)
 
     # one gather over the concatenated (3 + C) table instead of two: the
