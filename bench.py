@@ -25,6 +25,8 @@ ITERS = 20
 
 
 def main():
+    from pointrcnn_tpu.utils.jax_cache import enable_persistent_cache
+    enable_persistent_cache()
     import jax
     import jax.numpy as jnp
     from __graft_entry__ import _flagship_cfg, _synthetic_cloud

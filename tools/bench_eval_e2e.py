@@ -23,6 +23,8 @@ import numpy as np
 
 
 def main():
+    from pointrcnn_tpu.utils.jax_cache import enable_persistent_cache
+    enable_persistent_cache()
     num_scenes = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     batch_size = int(sys.argv[2]) if len(sys.argv) > 2 else 4
 

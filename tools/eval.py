@@ -165,6 +165,8 @@ def eval_ckpt(args, cfg, ckpt_path, logger):
 
 
 def main():
+    from pointrcnn_tpu.utils.jax_cache import enable_persistent_cache
+    enable_persistent_cache()
     args = parse_args()
     from pointrcnn_tpu.config import load_config, merge_from_list
     from pointrcnn_tpu.train.checkpoint import list_checkpoints

@@ -17,6 +17,8 @@ import numpy as np
 
 
 def main():
+    from pointrcnn_tpu.utils.jax_cache import enable_persistent_cache
+    enable_persistent_cache()
     import jax
     import jax.numpy as jnp
 

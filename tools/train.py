@@ -60,6 +60,8 @@ def create_logger(log_file, name):
 
 
 def main():
+    from pointrcnn_tpu.utils.jax_cache import enable_persistent_cache
+    enable_persistent_cache()
     args = parse_args()
     from pointrcnn_tpu.config import format_config, load_config
     from pointrcnn_tpu.data.loader import DataLoader
