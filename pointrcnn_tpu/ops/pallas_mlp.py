@@ -169,7 +169,57 @@ def fused_group_mlp_max(xyz, features, new_xyz, idx, weights, biases,
     :param weights: list of (Ci, Ci+1); biases: list of (Ci+1,) — BN folded.
         ``weights[0]`` has Cin = 3 + C when ``use_xyz`` else C.
     :return: (B, S, Cout) f32
+
+    Differentiable: the backward pass recomputes through the equivalent XLA
+    formulation (gather + dense MLP + max), so the op is safe anywhere under
+    ``jax.grad`` — in particular inside the rcnn-stage train step, where the
+    FIXED RPN runs this eval path under the loss gradient (its cotangents
+    are zero via stop_gradient, and XLA dead-code-eliminates the bwd).
     """
+    return _fused_group_mlp_max_diff(
+        use_xyz, xyz, features, new_xyz, idx.astype(jnp.int32),
+        tuple(weights), tuple(biases),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_group_mlp_max_diff(use_xyz, xyz, features, new_xyz, idx, weights,
+                              biases):
+    return _fused_group_mlp_max_impl(
+        use_xyz, xyz, features, new_xyz, idx, weights, biases
+    )
+
+
+def _fused_group_mlp_max_fwd(use_xyz, xyz, features, new_xyz, idx, weights,
+                             biases):
+    out = _fused_group_mlp_max_impl(
+        use_xyz, xyz, features, new_xyz, idx, weights, biases
+    )
+    return out, (xyz, features, new_xyz, idx, weights, biases)
+
+
+def _fused_group_mlp_max_bwd(use_xyz, res, ct):
+    xyz, features, new_xyz, idx, weights, biases = res
+    from pointrcnn_tpu.ops.grouping import group_points
+
+    def reference(xyz, features, new_xyz, weights, biases):
+        g = group_points(xyz, features, new_xyz, idx, use_xyz,
+                         out_dtype=jnp.bfloat16)
+        return fused_mlp_max(g, list(weights), list(biases))
+
+    _, vjp = jax.vjp(reference, xyz, features, new_xyz, weights, biases)
+    gx, gf, gn, gw, gb = vjp(ct)
+    import numpy as _np
+
+    gidx = _np.zeros(idx.shape, jax.dtypes.float0)
+    return gx, gf, gn, gidx, gw, gb
+
+
+_fused_group_mlp_max_diff.defvjp(_fused_group_mlp_max_fwd, _fused_group_mlp_max_bwd)
+
+
+def _fused_group_mlp_max_impl(use_xyz, xyz, features, new_xyz, idx, weights,
+                              biases):
     B, N, C = features.shape
     S = idx.shape[1]
     w0 = weights[0]

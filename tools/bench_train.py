@@ -1,5 +1,17 @@
-"""RPN training-step throughput on TPU (BASELINE.json config #3 workload:
-batch 16, 16384 points, gt-aug labels, bin-based loss)."""
+"""Training-step throughput on TPU.
+
+Modes (arg 2, default ``rpn``):
+
+- ``rpn``:  BASELINE.json config #3 workload — RPN-only training step,
+  batch 16, 16384 points, bin-based loss (reference train_rcnn.py
+  ``--train_mode rpn``).
+- ``rcnn``: stage-2 training with a fixed RPN and online proposal + target
+  sampling (reference ``--train_mode rcnn`` w/ RPN.FIXED) — full two-stage
+  graph incl. proposal layer, roipool and per-roi augmentation, at the
+  reference's rcnn batch size 4.
+
+Usage: python tools/bench_train.py [batch_size] [rpn|rcnn]
+"""
 
 from __future__ import annotations
 
@@ -23,8 +35,17 @@ def main():
     from pointrcnn_tpu.train.optimizer import build_optimizer
     from pointrcnn_tpu.train.state import create_train_state, make_train_step
 
-    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 16
-    cfg = merge_from_list(_flagship_cfg(), ["RCNN.ENABLED", "False"])
+    mode = sys.argv[2] if len(sys.argv) > 2 else "rpn"
+    batch_size = (
+        int(sys.argv[1]) if len(sys.argv) > 1 else (16 if mode == "rpn" else 4)
+    )
+    if mode == "rpn":
+        cfg = merge_from_list(_flagship_cfg(), ["RCNN.ENABLED", "False"])
+    else:
+        cfg = merge_from_list(
+            _flagship_cfg(),
+            ["RPN.ENABLED", "True", "RPN.FIXED", "True", "RCNN.ENABLED", "True"],
+        )
 
     n = cfg.RPN.NUM_POINTS
     rng = np.random.RandomState(0)
@@ -35,6 +56,17 @@ def main():
         ),
         "rpn_reg_label": jnp.asarray(rng.randn(batch_size, n, 7).astype(np.float32)),
     }
+    if mode == "rcnn":
+        # online proposal->target sampling needs gt boxes for assignment
+        G = cfg.RCNN.MAX_GT_BOXES
+        gt = np.zeros((batch_size, G, 7), np.float32)
+        gt[..., 0] = rng.uniform(-30, 30, (batch_size, G))
+        gt[..., 1] = rng.uniform(0, 2, (batch_size, G))
+        gt[..., 2] = rng.uniform(5, 60, (batch_size, G))
+        gt[..., 3:6] = [1.5, 1.6, 3.9]
+        gt[..., 6] = rng.uniform(-np.pi, np.pi, (batch_size, G))
+        batch["gt_boxes3d"] = jnp.asarray(gt)
+        batch["gt_valid"] = jnp.asarray(rng.rand(batch_size, G) < 0.6)
     model = PointRCNN(cfg=cfg, mode="TRAIN")
     tx = build_optimizer(cfg, total_steps=100, steps_per_epoch=10)
     state = create_train_state(model, cfg, batch, tx)
@@ -52,7 +84,7 @@ def main():
     jax.device_get(tb["loss"])
     dt = time.perf_counter() - t0
     print(
-        f"rpn train: batch {batch_size}, {dt / iters * 1000:.1f} ms/step, "
+        f"{mode} train: batch {batch_size}, {dt / iters * 1000:.1f} ms/step, "
         f"{batch_size * iters / dt:.2f} frames/sec/chip"
     )
 
