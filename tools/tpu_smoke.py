@@ -147,6 +147,22 @@ def main():
     err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
     check("fused group+mlp+max", err < 2e-2, f"rel {err:.1e}")
 
+    # 7) the fused kernel is differentiable (custom VJP recomputes through
+    # the XLA formulation) — this is load-bearing for rcnn-stage training,
+    # where the FIXED RPN runs the fused eval path inside the loss gradient
+    def loss_fused(fe):
+        return jnp.sum(jnp.sin(fused_group_mlp_max(
+            xyzg, fe, new_xyzg, idxg, ws, bs2, True)))
+
+    def loss_ref(fe):
+        return jnp.sum(jnp.sin(fused_mlp_max(
+            group_points(xyzg, fe, new_xyzg, idxg, True, jnp.bfloat16), ws, bs2)))
+
+    gf = jax.device_get(jax.jit(jax.grad(loss_fused))(featg))
+    gr = jax.device_get(jax.jit(jax.grad(loss_ref))(featg))
+    gerr = np.abs(gf - gr).max() / (np.abs(gr).max() + 1e-9)
+    check("fused kernel grad (custom VJP)", gerr < 5e-2, f"rel {gerr:.1e}")
+
     print(f"\n{'ALL PASS' if not failures else 'FAILURES: ' + ', '.join(failures)}")
     sys.exit(1 if failures else 0)
 
