@@ -23,6 +23,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 # VMEM budget gate: 4 live (B, N) f32 planes (xs/ys/zs/dists) + slack
 MAX_CELLS = 1 << 20
+# per-grid-step (rows, N) working set for the plain kernel (~6 live f32
+# planes of this size on the Mosaic stack + double-buffered input blocks)
+_CHUNK_CELLS = 1 << 17
 
 
 def _fps_kernel(xyz_ref, out_ref, dists, last):
@@ -153,18 +156,34 @@ def furthest_point_sample_pallas(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
         # every stripe row of a batch carries the same answer; take the first
         return out.T.reshape(B, s, npoint)[:, 0, :]
 
-    xyz_t = jnp.transpose(xyz.astype(jnp.float32), (2, 0, 1))  # (3, B, N)
-    out = pl.pallas_call(
-        _fps_kernel,
-        grid=(1,),
-        in_specs=[
-            pl.BlockSpec((3, B, N), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((npoint, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((npoint, B), jnp.int32),
-        scratch_shapes=[
-            pltpu.VMEM((B, N), jnp.float32),
-            pltpu.VMEM((B, 128), jnp.int32),
-        ],
-    )(xyz_t)
-    return out.T
+    # chunk the batch across separate kernel launches: the greedy loop keeps
+    # ~6 live (B, N) f32 temporaries on the Mosaic stack, so an
+    # everything-resident launch runs out of VMEM past ~(8, 16384) cells
+    # (observed at batch-16 eval).  Rows are independent; full-array blocks
+    # per launch sidestep Mosaic's partial-block lane-divisibility rules.
+    rows = min(B, max(1, _CHUNK_CELLS // N))
+    while B % rows:
+        rows -= 1
+
+    def one_chunk(xyz_chunk):  # (rows, N, 3) -> (npoint, rows)
+        xyz_t = jnp.transpose(xyz_chunk.astype(jnp.float32), (2, 0, 1))
+        return pl.pallas_call(
+            _fps_kernel,
+            grid=(1,),
+            in_specs=[
+                pl.BlockSpec((3, rows, N), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((npoint, rows), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((npoint, rows), jnp.int32),
+            scratch_shapes=[
+                pltpu.VMEM((rows, N), jnp.float32),
+                pltpu.VMEM((rows, 128), jnp.int32),
+            ],
+        )(xyz_t)
+
+    if rows == B:
+        return one_chunk(xyz).T
+    outs = [one_chunk(xyz[c : c + rows]) for c in range(0, B, rows)]
+    return jnp.concatenate(outs, axis=1).T
