@@ -633,7 +633,9 @@ class KittiRCNNDataset(KittiDataset):
         )
         roi_file = os.path.join(self.rcnn_training_roi_dir, "%06d.txt" % sample_id)
         roi_boxes3d = objs_to_boxes3d(get_objects_from_label(roi_file))
-        gt_boxes3d = objs_to_boxes3d(self.filtrate_objects(self.get_label(sample_id)))
+        gt_objs = self.filtrate_objects(self.get_label(sample_id))
+        gt_boxes3d = objs_to_boxes3d(gt_objs)
+        gt_cls = np.array([self.cls_index(o.cls_type) for o in gt_objs], np.int32)
 
         iou = boxes_iou3d(roi_boxes3d, gt_boxes3d)
         max_overlaps, gt_assignment = iou.max(axis=1), iou.argmax(axis=1)
@@ -668,7 +670,7 @@ class KittiRCNNDataset(KittiDataset):
             fg_take, fg_inds = 0, np.array([], np.int64)
             bg_inds = np.arange(R) % max(len(roi_boxes3d), 1)
 
-        roi_list, iou_list, gt_list = [], [], []
+        roi_list, iou_list, gt_list, cls_list = [], [], [], []
         if fg_take > 0:
             fg_rois, fg_iou = self.aug_roi_by_noise_batch(
                 roi_boxes3d[fg_inds].copy(), gt_boxes3d[gt_assignment[fg_inds]],
@@ -677,6 +679,7 @@ class KittiRCNNDataset(KittiDataset):
             roi_list.append(fg_rois)
             iou_list.append(fg_iou)
             gt_list.append(gt_boxes3d[gt_assignment[fg_inds]])
+            cls_list.append(gt_cls[gt_assignment[fg_inds]])
         if len(bg_inds) > 0:
             bg_rois, bg_iou = self.aug_roi_by_noise_batch(
                 roi_boxes3d[bg_inds].copy(), gt_boxes3d[gt_assignment[bg_inds]],
@@ -685,10 +688,12 @@ class KittiRCNNDataset(KittiDataset):
             roi_list.append(bg_rois)
             iou_list.append(bg_iou)
             gt_list.append(gt_boxes3d[gt_assignment[bg_inds]])
+            cls_list.append(gt_cls[gt_assignment[bg_inds]])
 
         rois = np.concatenate(roi_list, axis=0)
         iou_of_rois = np.concatenate(iou_list, axis=0)
         gt_of_rois = np.concatenate(gt_list, axis=0)
+        gt_cls_of_rois = np.concatenate(cls_list, axis=0).astype(np.int32)
 
         extra = [seg_mask.reshape(-1, 1)]
         if cfg.RCNN.USE_INTENSITY:
@@ -718,7 +723,12 @@ class KittiRCNNDataset(KittiDataset):
 
         valid_mask = (~empty).astype(np.int32)
         reg_valid_mask = ((iou_of_rois > cfg.RCNN.REG_FG_THRESH).astype(np.int32) & valid_mask)
-        cls_label = (iou_of_rois > cfg.RCNN.CLS_FG_THRESH).astype(np.int32)
+        # foreground label is the 1-based gt class index — same convention
+        # as the online target layer (models/target.py); single-class
+        # configs have gt_cls all zero, reducing to the binary 0/1 form
+        cls_label = np.where(
+            iou_of_rois > cfg.RCNN.CLS_FG_THRESH, gt_cls_of_rois + 1, 0
+        ).astype(np.int32)
         invalid = (iou_of_rois > cfg.RCNN.CLS_BG_THRESH) & (iou_of_rois < cfg.RCNN.CLS_FG_THRESH)
         cls_label[invalid] = -1
         cls_label[valid_mask == 0] = -1
@@ -734,6 +744,7 @@ class KittiRCNNDataset(KittiDataset):
             "cls_label": cls_label,
             "reg_valid_mask": reg_valid_mask,
             "gt_boxes3d_ct": gt_boxes3d_ct.astype(np.float32),
+            "gt_cls_of_rois": gt_cls_of_rois,
             "roi_boxes3d": rois.astype(np.float32),
             "roi_size": rois[:, 3:6].astype(np.float32),
         }

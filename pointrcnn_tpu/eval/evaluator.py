@@ -107,7 +107,13 @@ def build_joint_eval_step(model, cfg, with_gt: bool):
             probs = jax.nn.softmax(logits, axis=-1)
             pred_cls = jnp.argmax(probs[..., 1:], axis=-1).astype(jnp.int32)
             norm_scores = jnp.max(probs[..., 1:], axis=-1)
-            raw_scores = jnp.max(logits[..., 1:], axis=-1)
+            # rank by log softmax probability, NOT the max fg logit: the raw
+            # logit is not monotone with the probability across boxes (the
+            # bg logit shifts it), which would misorder NMS and the AP
+            # ranking score written to the KITTI file
+            raw_scores = jnp.max(
+                jax.nn.log_softmax(logits, axis=-1)[..., 1:], axis=-1
+            )
             anchor = jnp.asarray(cfg.CLS_MEAN_SIZE)[pred_cls.reshape(-1)]
 
         pred_boxes3d = decode_bbox_target(
@@ -323,8 +329,10 @@ def eval_one_epoch_joint(model, variables, cfg, loader, result_dir,
 def build_rcnn_offline_eval_step(model, cfg, with_gt: bool):
     """Jitted RCNN-only eval step over saved RPN proposals + features
     (reference eval_one_epoch_rcnn, eval_rcnn.py:256-456)."""
-    from pointrcnn_tpu.models.point_rcnn import canonical_transform
+    from pointrcnn_tpu.models.point_rcnn import canonical_transform, num_classes_for
     from pointrcnn_tpu.ops.roipool3d import roipool3d
+
+    n_cls = num_classes_for(cfg)
 
     def step(variables, rpn_xyz, rpn_features, rpn_intensity, seg_mask,
              pts_depth, rois, roi_valid, roi_scores, gt_boxes3d=None):
@@ -344,10 +352,27 @@ def build_rcnn_offline_eval_step(model, cfg, with_gt: bool):
         out = model.apply(variables, {"pts_input": pts_input}, train=False)
 
         rcnn_reg = out["rcnn_reg"].reshape(B, M, -1)
-        rcnn_cls = out["rcnn_cls"].reshape(B, M)
+        if n_cls == 2:
+            rcnn_cls = out["rcnn_cls"].reshape(B, M)
+            raw_scores = rcnn_cls
+            norm_scores = jax.nn.sigmoid(raw_scores)
+            pred_cls = jnp.zeros((B, M), jnp.int32)
+            anchor = jnp.asarray(cfg.CLS_MEAN_SIZE[0])
+        else:
+            # multi-class head (same semantics as the joint step): box
+            # decoded with the predicted class's anchor; ranking by log
+            # softmax probability (monotone with the thresholded score)
+            logits = out["rcnn_cls"].reshape(B, M, n_cls)
+            probs = jax.nn.softmax(logits, axis=-1)
+            pred_cls = jnp.argmax(probs[..., 1:], axis=-1).astype(jnp.int32)
+            norm_scores = jnp.max(probs[..., 1:], axis=-1)
+            raw_scores = jnp.max(
+                jax.nn.log_softmax(logits, axis=-1)[..., 1:], axis=-1
+            )
+            anchor = jnp.asarray(cfg.CLS_MEAN_SIZE)[pred_cls.reshape(-1)]
         pred_boxes3d = decode_bbox_target(
             rois.reshape(-1, 7), rcnn_reg.reshape(B * M, -1),
-            anchor_size=jnp.asarray(cfg.CLS_MEAN_SIZE[0]),
+            anchor_size=anchor,
             loc_scope=cfg.RCNN.LOC_SCOPE, loc_bin_size=cfg.RCNN.LOC_BIN_SIZE,
             num_head_bin=cfg.RCNN.NUM_HEAD_BIN,
             get_xz_fine=True, get_y_by_bin=cfg.RCNN.LOC_Y_BY_BIN,
@@ -355,7 +380,6 @@ def build_rcnn_offline_eval_step(model, cfg, with_gt: bool):
             get_ry_fine=True,
         ).reshape(B, M, 7)
 
-        norm_scores = jax.nn.sigmoid(rcnn_cls)
         keep_score = (norm_scores > cfg.RCNN.SCORE_THRESH) & roi_valid
 
         def final_nms(boxes, scores, valid):
@@ -363,11 +387,12 @@ def build_rcnn_offline_eval_step(model, cfg, with_gt: bool):
             return nms_bev(bev, scores, thresh=cfg.RCNN.NMS_THRESH, pre_max=M,
                            post_max=M, rotated=True, valid=valid)
 
-        sel_idx, sel_valid = jax.vmap(final_nms)(pred_boxes3d, rcnn_cls, keep_score)
+        sel_idx, sel_valid = jax.vmap(final_nms)(pred_boxes3d, raw_scores, keep_score)
         result = {
             "pred_boxes3d": pred_boxes3d,
-            "raw_scores": rcnn_cls,
+            "raw_scores": raw_scores,
             "norm_scores": norm_scores,
+            "pred_cls": pred_cls,
             "sel_idx": sel_idx,
             "sel_valid": sel_valid,
         }
@@ -394,7 +419,7 @@ def eval_one_epoch_rcnn_offline(model, variables, cfg, loader, result_dir,
     total_recalled = np.zeros(len(THRESH_LIST), np.int64)
     total_gt = 0
 
-    fetch = ["pred_boxes3d", "raw_scores", "sel_idx", "sel_valid"]
+    fetch = ["pred_boxes3d", "raw_scores", "pred_cls", "sel_idx", "sel_valid"]
     if with_gt:
         fetch += ["gt_max_iou"]
 
@@ -433,6 +458,7 @@ def eval_one_epoch_rcnn_offline(model, variables, cfg, loader, result_dir,
             save_kitti_format(
                 sample_id, calib, out["pred_boxes3d"][k][sel], final_output_dir,
                 out["raw_scores"][k][sel], img_shape, class_name=cfg.CLASSES,
+                pred_cls=out["pred_cls"][k][sel],
             )
 
     _pipelined_epoch(loader, enqueue, process)

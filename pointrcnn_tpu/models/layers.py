@@ -165,7 +165,7 @@ class SharedMLP(nn.Module):
                     ws.append(w)
                     bs.append(b)
             if group_args is not None:
-                if fused_group_mlp_max_supported(g_feats, g_idx):
+                if fused_group_mlp_max_supported(g_feats, g_idx, jnp.dtype(dt)):
                     return fused_group_mlp_max(
                         g_xyz, g_feats, g_new_xyz, g_idx, ws, bs, g_use_xyz
                     )

@@ -6,6 +6,30 @@ import jax
 import jax.numpy as jnp
 
 
+def first_k_in_order(mask: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Indices of the first ``k`` True lanes per row, in index order.
+
+    ``mask`` (..., N) bool -> (..., k) int32.  Slots past the per-row hit
+    count come out 0 (callers add their own backfill semantics).  EXACT
+    first-K-in-order via hit ranks: the j-th selected lane is the one whose
+    running hit count equals j, extracted by a compare-and-reduce that XLA
+    fuses (no (..., N, K) tensor in HBM) — ~5x faster on TPU than the full
+    sort a top_k over order keys lowers to.  Shared by the exact roipool and
+    ball-query selection paths (reference roipool3d_kernel.cu:123-140 /
+    ball_query_gpu.cu fill order).
+    """
+    N = mask.shape[-1]
+    rank = jnp.cumsum(mask, axis=-1, dtype=jnp.int32) - 1
+    kk = jnp.arange(k, dtype=jnp.int32)
+    sel = (rank[..., None] == kk) & mask[..., None]
+    # integer indices up to N must survive the dot exactly -> HIGHEST
+    return jnp.einsum(
+        "...nk,n->...k", sel.astype(jnp.float32),
+        jnp.arange(N, dtype=jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(jnp.int32)
+
+
 def square_distance(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Pairwise squared euclidean distance.
 

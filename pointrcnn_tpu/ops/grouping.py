@@ -18,7 +18,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from pointrcnn_tpu.ops.common import chunked_map, gather_points, square_distance
+from pointrcnn_tpu.ops.common import (
+    chunked_map,
+    first_k_in_order,
+    gather_points,
+    square_distance,
+)
 
 
 def ball_query(
@@ -74,14 +79,7 @@ def ball_query(
         def per_chunk_rank(centroids):
             d2 = square_distance(centroids, xyz)
             mask = d2 < r2
-            rank = jnp.cumsum(mask, axis=-1, dtype=jnp.int32) - 1
-            kk = jnp.arange(nsample, dtype=jnp.int32)
-            sel = (rank[..., None] == kk) & mask[..., None]
-            hits = jnp.einsum(
-                "bcnk,n->bck", sel.astype(jnp.float32),
-                jnp.arange(N, dtype=jnp.float32),
-                precision=jax.lax.Precision.HIGHEST,
-            ).astype(jnp.int32)
+            hits = first_k_in_order(mask, nsample)
             cnt = jnp.sum(mask, axis=-1)[..., None]
             kio = jax.lax.broadcasted_iota(jnp.int32, hits.shape, hits.ndim - 1)
             out = jnp.where(kio < cnt, hits, hits[..., 0:1])

@@ -146,14 +146,27 @@ def _fused_group(table, idx, cent, w0x, ws, bs, use_xyz, f0p):
     )(*operands)
 
 
-def fused_group_mlp_max_supported(features, idx) -> bool:
+# one-hot cells (rows x N) per grid step the VMEM budget tolerates (bf16
+# one-hot + f32 gather result + activations; all production SA shapes are
+# <= 2M cells, the header calibration point)
+_MAX_OH_CELLS = 1 << 22
+
+
+def fused_group_mlp_max_supported(features, idx,
+                                  compute_dtype=jnp.bfloat16) -> bool:
     if jax.default_backend() not in ("tpu", "axon"):
         return False
     if features is None:
         return False
+    if compute_dtype != jnp.bfloat16:
+        # the kernel's gather matmul and MLP stack are bf16 by construction;
+        # full-f32 configs (COMPUTE_DTYPE: float32) must keep the XLA path,
+        # which honors the requested dtype end to end
+        return False
     B, N, C = features.shape
     S, K = idx.shape[1], idx.shape[2]
-    return N <= _MAX_N and _pick_chunk(S, K) >= 8
+    chunk = _pick_chunk(S, K)
+    return N <= _MAX_N and chunk >= 8 and chunk * K * N <= _MAX_OH_CELLS
 
 
 def _ceil128(x: int) -> int:

@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from pointrcnn_tpu.ops.common import gather_points
+from pointrcnn_tpu.ops.common import first_k_in_order, gather_points
 from pointrcnn_tpu.utils.box_ops import enlarge_box3d, points_in_boxes3d
 
 
@@ -59,23 +59,12 @@ def roipool3d(
         # the first hit so downstream cyclic duplication stays in-box
         hits = jnp.where(hits >= N, jnp.minimum(hits[..., 0:1], N - 1), hits)
     elif on_tpu:
-        # EXACT first-K-in-order via hit ranks: the k-th selected point is
-        # the one whose running hit count equals k, extracted by a
-        # compare-and-reduce the compiler fuses (no (B, M, N, K) tensor in
-        # HBM).  ~5x faster than the full sort top_k lowers to, making the
-        # config-selectable exact path cheap (~2.6 ms over approx at RCNN
-        # eval shapes instead of ~40 ms).
-        rank = jnp.cumsum(mask, axis=-1, dtype=jnp.int32) - 1  # (B, M, N)
-        kk = jnp.arange(num_sampled, dtype=jnp.int32)
-        sel = (rank[..., None] == kk) & mask[..., None]  # (B, M, N, K)
-        iota_n = jnp.arange(N, dtype=jnp.float32)
-        # integer indices up to N must survive the dot exactly -> HIGHEST
-        hits = jnp.einsum(
-            "bmnk,n->bmk", sel.astype(jnp.float32), iota_n,
-            precision=jax.lax.Precision.HIGHEST,
-        ).astype(jnp.int32)
-        # slots past the hit count come out 0; cyclic duplication below only
-        # reads slots < cnt, so no sentinel/backfill is needed
+        # EXACT first-K-in-order selection (ops.common.first_k_in_order),
+        # making the config-selectable exact path cheap (~2.6 ms over approx
+        # at RCNN eval shapes instead of the ~40 ms a top_k sort costs).
+        # Slots past the hit count come out 0; cyclic duplication below only
+        # reads slots < cnt, so no sentinel/backfill is needed.
+        hits = first_k_in_order(mask, num_sampled)
     else:
         order = jnp.where(
             mask, jax.lax.broadcasted_iota(jnp.int32, mask.shape, 2), N

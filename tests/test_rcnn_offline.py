@@ -119,3 +119,101 @@ def test_offline_rcnn_eval(prepared, tmp_path):
     )
     assert "recall_0.5" in ret
     assert len(os.listdir(final_dir)) == 3
+
+
+def test_offline_rcnn_multiclass(tmp_path):
+    """People (Pedestrian+Cyclist) through the OFFLINE stage-2 path:
+    class-indexed cls_label / gt_cls_of_rois in the sampled batch (the CE
+    loss and per-class anchors need them), and the multi-class offline eval
+    step decodes + writes per-class KITTI results without assuming a
+    1-logit head."""
+    import jax.numpy as jnp
+    from pointrcnn_tpu.eval.evaluator import eval_one_epoch_rcnn_offline
+
+    root = str(tmp_path / "kitti")
+    _, boxes_per_sample = make_mini_kitti(
+        root, num_samples=2, n_points=2000, seed=3,
+        classes=("Pedestrian", "Cyclist"))
+    cfg = offline_cfg().thaw()
+    cfg.CLASSES = "People"
+    cfg.RCNN.LOSS_CLS = "CrossEntropy"
+    cfg.RCNN.CLS_WEIGHT = [1.0, 1.0, 1.0]
+    cfg.CLS_MEAN_SIZE = [[1.73, 0.6, 0.8], [1.73, 0.6, 1.76]]
+    cfg = cfg.freeze()
+
+    # rois straight from the label files (KITTI label format == roi format),
+    # features fabricated at the tiny width the fixtures RPN would emit
+    label_dir = os.path.join(root, "KITTI", "object", "training", "label_2")
+    feat_dir = str(tmp_path / "feats")
+    os.makedirs(feat_dir, exist_ok=True)
+    rng = np.random.RandomState(0)
+    for sid in range(2):
+        # cluster half the points inside the gt boxes so the rois pool
+        # non-empty neighborhoods (person-sized boxes are tiny)
+        n = 512
+        pts = np.zeros((n, 3), np.float32)
+        pts[: n // 2] = rng.uniform(-8, 8, (n // 2, 3))
+        for j, box in enumerate(boxes_per_sample[sid]):
+            cx, cy, cz, h, w, l, ry = box
+            seg = pts[n // 2 + j * (n // 4) : n // 2 + (j + 1) * (n // 4)]
+            # stay within the inscribed circle so the rotation is irrelevant
+            rad = 0.3 * min(w, l)
+            seg[:, 0] = cx + rng.uniform(-rad, rad, len(seg))
+            seg[:, 1] = cy - rng.uniform(0.03 * h, 0.97 * h, len(seg))
+            seg[:, 2] = cz + rng.uniform(-rad, rad, len(seg))
+        np.save(os.path.join(feat_dir, "%06d_xyz.npy" % sid), pts)
+        np.save(os.path.join(feat_dir, "%06d.npy" % sid),
+                rng.randn(n, 16).astype(np.float32))
+        np.save(os.path.join(feat_dir, "%06d_intensity.npy" % sid),
+                rng.rand(n).astype(np.float32))
+        np.save(os.path.join(feat_dir, "%06d_seg.npy" % sid),
+                (rng.rand(n) > 0.5).astype(np.float32))
+        np.save(os.path.join(feat_dir, "%06d_rawscore.npy" % sid),
+                rng.randn(n).astype(np.float32))
+
+    ds = KittiRCNNDataset(
+        root, cfg, npoints=512, split="train", mode="TRAIN", classes="People",
+        rcnn_training_roi_dir=label_dir, rcnn_training_feature_dir=feat_dir,
+    )
+    s = ds.getitem(0, np.random.RandomState(0))
+    assert "gt_cls_of_rois" in s and s["gt_cls_of_rois"].shape == s["cls_label"].shape
+    # rois == gt boxes -> fg labels present; Cyclist fg rois carry class 2
+    fg = s["cls_label"] > 0
+    assert fg.any()
+    assert set(np.unique(s["cls_label"][fg])).issubset({1, 2})
+    assert (s["cls_label"][fg] == s["gt_cls_of_rois"][fg] + 1).all()
+
+    # multi-class CE train step consumes the labels
+    loader = DataLoader(ds, batch_size=2, drop_last=True)
+    batch = next(iter(loader))
+    model = PointRCNN(cfg=cfg, mode="TRAIN", num_classes=3)
+    device_batch = {k: v for k, v in batch.items()
+                    if isinstance(v, np.ndarray) and v.dtype != object}
+    tx = build_optimizer(cfg, total_steps=5, steps_per_epoch=1)
+    state = create_train_state(model, cfg, device_batch, tx)
+    step = make_train_step(model, cfg, tx, donate=False)
+    state, tb = step(state, device_batch, jax.random.PRNGKey(0), 0.1)
+    assert np.isfinite(float(tb["loss"]))
+
+    # multi-class offline EVAL: 3-logit head decodes with per-class anchors
+    ds_eval = KittiRCNNDataset(
+        root, cfg, npoints=512, split="train", mode="EVAL", classes="People",
+        rcnn_eval_roi_dir=label_dir, rcnn_eval_feature_dir=feat_dir,
+    )
+    loader_e = DataLoader(ds_eval, batch_size=2)
+    model_e = PointRCNN(cfg=cfg, mode="TEST", num_classes=3)
+    from pointrcnn_tpu.models.rcnn import rcnn_input_channels
+
+    in_ch = rcnn_input_channels(cfg) + 16
+    sample = {"pts_input": np.zeros((1, cfg.RCNN.NUM_POINTS, in_ch), np.float32)}
+    state_e = create_train_state(model_e, cfg, sample, tx, train=False)
+    variables = {"params": state_e.params, "batch_stats": state_e.batch_stats}
+    ret, final_dir = eval_one_epoch_rcnn_offline(
+        model_e, variables, cfg, loader_e, str(tmp_path / "out")
+    )
+    assert "recall_0.5" in ret
+    names = set()
+    for f in os.listdir(final_dir):
+        for line in open(os.path.join(final_dir, f)):
+            names.add(line.split()[0])
+    assert names.issubset({"Pedestrian", "Cyclist"})
