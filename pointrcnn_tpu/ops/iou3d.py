@@ -116,7 +116,13 @@ def _pair_overlap(box_a: jnp.ndarray, box_b: jnp.ndarray) -> jnp.ndarray:
 
     angle = jnp.where(mask, jnp.arctan2(pts[:, 1] - center[1], pts[:, 0] - center[0]), 1e9)
     order = jnp.argsort(angle)
-    sp = pts[order]  # valid points first, sorted by angle
+    # valid points first, sorted by angle.  One-hot contraction instead of
+    # pts[order]: under the (N, M)-pair vmap XLA lowers the indexed gather
+    # to a serialized per-row op (~5 ms per boxes_iou3d call at
+    # target-layer shapes); the compare+reduce fuses on-chip.  HIGHEST keeps
+    # the single-nonzero dot bit-exact.
+    oh = (order[:, None] == jnp.arange(pts.shape[0])).astype(pts.dtype)
+    sp = jnp.einsum("ij,jc->ic", oh, pts, precision=jax.lax.Precision.HIGHEST)
 
     # shoelace fan from sp[0] over consecutive valid pairs
     k = jnp.arange(24)
