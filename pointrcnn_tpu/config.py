@@ -144,6 +144,13 @@ def default_config() -> ConfigNode:
     rpn = ConfigNode()
     rpn.ENABLED = True
     rpn.FIXED = False
+    # generate per-point cls/reg labels inside the jitted train step from
+    # the (padded) gt boxes instead of on the host (train/labels.py) —
+    # removes the dense (B, N, 7) reg-label host->device transfer and the
+    # label pass from the host sample pipeline.  TPU-first deviation from
+    # the reference, which builds labels in the DataLoader workers
+    # (kitti_rcnn_dataset.py:364-394); semantics are oracle-equivalent.
+    rpn.DEVICE_LABELS = True
     rpn.USE_INTENSITY = True
     rpn.LOC_XZ_FINE = False
     rpn.LOC_SCOPE = 3.0

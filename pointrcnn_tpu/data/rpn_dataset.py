@@ -323,7 +323,14 @@ class KittiRCNNDataset(KittiDataset):
                 [self.cls_index(o.cls_type) for o in gt_obj_list], np.int32
             ),
         )
-        if not cfg.RPN.FIXED:
+        device_labels = (
+            self.mode == "TRAIN"
+            and ("DEVICE_LABELS" not in cfg.RPN or cfg.RPN.DEVICE_LABELS)
+        )
+        if not cfg.RPN.FIXED and not device_labels:
+            # host-side labels: still used in EVAL mode (the rpn evaluator's
+            # seg-IoU accounting reads them on the host) and when
+            # RPN.DEVICE_LABELS is off
             cls_label, reg_label = self.generate_rpn_training_labels(
                 aug_pts_rect, aug_gt_boxes3d
             )

@@ -156,9 +156,19 @@ def model_loss(cfg, outputs: dict, batch: dict):
     loss = 0.0
     tb = {}
     if cfg.RPN.ENABLED and not cfg.RPN.FIXED:
+        if "rpn_cls_label" in batch:
+            cls_label, reg_label = batch["rpn_cls_label"], batch["rpn_reg_label"]
+        else:
+            # on-device label generation (train/labels.py): the host ships
+            # only points + padded gt boxes; the dense (B, N, 7) reg target
+            # never crosses the host->device link
+            from pointrcnn_tpu.train.labels import rpn_training_labels_batch
+
+            cls_label, reg_label = rpn_training_labels_batch(
+                batch["pts_input"], batch["gt_boxes3d"], batch["gt_valid"]
+            )
         rpn_loss, rpn_tb = get_rpn_loss(
-            cfg, outputs["rpn_cls"], outputs["rpn_reg"],
-            batch["rpn_cls_label"], batch["rpn_reg_label"],
+            cfg, outputs["rpn_cls"], outputs["rpn_reg"], cls_label, reg_label,
         )
         loss = loss + rpn_loss
         tb.update(rpn_tb)

@@ -62,7 +62,14 @@ def test_rpn_learns_fg_segmentation(tmp_path):
             batch, train=False,
         )
         scores = jax.nn.sigmoid(out["rpn_cls"][..., 0])
-        label = batch["rpn_cls_label"]
+        # labels are generated on device by default (RPN.DEVICE_LABELS);
+        # recompute them here for the accuracy metrics
+        from pointrcnn_tpu.train.labels import rpn_training_labels_batch
+
+        label, _ = rpn_training_labels_batch(
+            batch["pts_input"], batch["gt_boxes3d"], batch["gt_valid"]
+        )
+        label = np.asarray(label)
         fg, bg = label > 0, label == 0
         return (
             float((scores[fg] > 0.3).mean()),

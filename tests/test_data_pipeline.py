@@ -40,6 +40,9 @@ def test_rpn_sample_full_checks(kitti_root):
     cfg.GT_AUG_ENABLED = False
     cfg.RCNN.MAX_GT_BOXES = 8
     cfg.RPN.USE_INTENSITY = True
+    # this test checks the HOST label generator's output; the default
+    # (DEVICE_LABELS) skips it in TRAIN mode
+    cfg.RPN.DEVICE_LABELS = False
     cfg = cfg.freeze()
     ds = KittiRCNNDataset(root, cfg, npoints=1024, split="train", mode="TRAIN")
     rng = np.random.RandomState(1)
@@ -148,3 +151,44 @@ def test_loader_early_exit_cancels_pending(kitti_root):
     it = iter(loader)
     next(it)
     it.close()  # must not hang or raise
+
+
+def test_device_rpn_labels_match_host_generator():
+    """train/labels.py computes the same per-point cls/reg labels on device
+    as the host generator, including the later-box-overwrites order for
+    overlapping boxes and enlarged-ring ignores."""
+    import jax.numpy as jnp
+    from pointrcnn_tpu.data.rpn_dataset import KittiRCNNDataset
+    from pointrcnn_tpu.train.labels import rpn_training_labels_batch
+
+    rng = np.random.RandomState(7)
+    N, G, Gpad = 2048, 6, 10
+    pts = rng.uniform(-12, 12, (N, 3)).astype(np.float32)
+    # concentrate most points around the box cluster so fg/ring labels are
+    # well represented
+    pts[: N // 2] = rng.uniform(-3, 3, (N // 2, 3)).astype(np.float32)
+    pts[: N // 2, 1] = rng.uniform(-0.5, 2.0, N // 2)
+    boxes = np.zeros((G, 7), np.float32)
+    # overlapping cluster + isolated boxes
+    boxes[:, 0] = [0.0, 0.5, 8.0, -7.0, 0.2, 3.0]
+    boxes[:, 1] = 1.6
+    boxes[:, 2] = [0.0, 0.4, -6.0, 5.0, 0.1, 3.2]
+    boxes[:, 3:6] = [1.5, 1.7, 3.9]
+    boxes[:, 6] = rng.uniform(-np.pi, np.pi, G)
+
+    cls_h, reg_h = KittiRCNNDataset.generate_rpn_training_labels(pts, boxes)
+    assert (cls_h == 1).sum() > 50, "fixture should produce foreground"
+    assert (cls_h == -1).sum() > 0, "fixture should produce ignore rings"
+
+    padded = np.zeros((Gpad, 7), np.float32)
+    padded[:G] = boxes
+    # poison the padding rows: valid masking must ignore them
+    padded[G:, 3:6] = 100.0
+    valid = np.zeros(Gpad, bool)
+    valid[:G] = True
+    cls_d, reg_d = rpn_training_labels_batch(
+        jnp.asarray(pts)[None], jnp.asarray(padded)[None],
+        jnp.asarray(valid)[None],
+    )
+    np.testing.assert_array_equal(np.asarray(cls_d[0]), cls_h)
+    np.testing.assert_allclose(np.asarray(reg_d[0]), reg_h, atol=1e-5)

@@ -88,7 +88,7 @@ def main():
         dt = time.perf_counter() - t0
         print(f"{tag}: {n} steps ({n * batch_size} scenes) in {dt:.2f}s = "
               f"{n * batch_size / dt:.1f} scenes/sec end-to-end "
-              f"(batch {batch_size}, gt-aug + scene-aug + labels on host)",
+              f"(batch {batch_size}, gt-aug + scene-aug on host, labels on device)",
               flush=True)
 
 
