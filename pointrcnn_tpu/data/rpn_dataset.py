@@ -46,6 +46,7 @@ class KittiRCNNDataset(KittiDataset):
         rcnn_eval_feature_dir: str | None = None,
         rcnn_training_roi_dir: str | None = None,
         rcnn_training_feature_dir: str | None = None,
+        rpn_eval_labels: bool = True,
         logger=None,
     ):
         super().__init__(root_dir=root_dir, split=split)
@@ -54,6 +55,10 @@ class KittiRCNNDataset(KittiDataset):
         self.mode = mode
         self.npoints = npoints
         self.random_select = random_select
+        # EVAL-mode per-point labels are only read by the rpn evaluator's
+        # seg-IoU accounting; the joint/offline evaluators never touch them,
+        # and the label pass is ~1/3 of EVAL sample prep
+        self.rpn_eval_labels = rpn_eval_labels
         self.logger = logger
 
         if classes == "Car":
@@ -323,14 +328,16 @@ class KittiRCNNDataset(KittiDataset):
                 [self.cls_index(o.cls_type) for o in gt_obj_list], np.int32
             ),
         )
-        device_labels = (
-            self.mode == "TRAIN"
-            and ("DEVICE_LABELS" not in cfg.RPN or cfg.RPN.DEVICE_LABELS)
-        )
-        if not cfg.RPN.FIXED and not device_labels:
-            # host-side labels: still used in EVAL mode (the rpn evaluator's
-            # seg-IoU accounting reads them on the host) and when
-            # RPN.DEVICE_LABELS is off
+        if self.mode == "TRAIN":
+            # default: labels are generated on device inside the train step
+            # (train/labels.py); host labels only when DEVICE_LABELS is off
+            emit_labels = not (
+                "DEVICE_LABELS" not in cfg.RPN or cfg.RPN.DEVICE_LABELS
+            )
+        else:
+            # EVAL: only the rpn evaluator reads them (seg-IoU accounting)
+            emit_labels = self.rpn_eval_labels
+        if not cfg.RPN.FIXED and emit_labels:
             cls_label, reg_label = self.generate_rpn_training_labels(
                 aug_pts_rect, aug_gt_boxes3d
             )

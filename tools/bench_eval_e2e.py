@@ -52,6 +52,7 @@ def main():
     dataset = KittiRCNNDataset(
         root, cfg, npoints=cfg.RPN.NUM_POINTS, split="val", mode="EVAL",
         classes=cfg.CLASSES, logger=logger, random_select=True,
+        rpn_eval_labels=False,  # joint eval never reads them
     )
     loader = DataLoader(dataset, batch_size=batch_size, num_workers=4)
 

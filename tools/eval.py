@@ -88,6 +88,9 @@ def eval_ckpt(args, cfg, ckpt_path, logger):
         classes=cfg.CLASSES, logger=logger, random_select=True,
         rcnn_eval_roi_dir=args.rcnn_eval_roi_dir,
         rcnn_eval_feature_dir=args.rcnn_eval_feature_dir,
+        # per-point labels only feed the rpn evaluator's seg-IoU; skip the
+        # host label pass for the joint/offline modes
+        rpn_eval_labels=(args.eval_mode == "rpn"),
     )
     loader = DataLoader(dataset, batch_size=args.batch_size, num_workers=args.workers)
 
