@@ -192,6 +192,34 @@ def _cached_step(builder, model, cfg, with_gt: bool):
     return _STEP_CACHE[key]
 
 
+@jax.jit
+def _flatpack(arrs):
+    """Concatenate arbitrary arrays into ONE flat f32 device buffer."""
+    return jnp.concatenate([a.astype(jnp.float32).reshape(-1) for a in arrs])
+
+
+def _pack_fetch(out: dict, fetch: list):
+    """Pack the fetch-relevant outputs into a single device array + spec.
+
+    Every fetched array costs a full transfer round-trip on this backend
+    (~10 ms each through the relay); seven arrays per batch made the fetch,
+    not the compute, the eval-loop bottleneck.  All fetched values survive
+    an f32 round-trip exactly (f32 scores/boxes/IoUs, small int32 indices,
+    bools)."""
+    spec = [(k, out[k].shape, out[k].dtype) for k in fetch if k in out]
+    packed = _flatpack(tuple(out[k] for k, _, _ in spec))
+    return packed, spec
+
+
+def _unpack_fetch(flat: np.ndarray, spec) -> dict:
+    out, off = {}, 0
+    for k, shape, dtype in spec:
+        n = int(np.prod(shape)) if shape else 1
+        out[k] = flat[off : off + n].reshape(shape).astype(dtype)
+        off += n
+    return out
+
+
 def _pipelined_epoch(loader, enqueue, process):
     """Drive an eval epoch one batch ahead of host post-processing.
 
@@ -203,16 +231,20 @@ def _pipelined_epoch(loader, enqueue, process):
     reference gets the same overlap from CUDA stream asynchrony + DataLoader
     workers (eval_rcnn.py's tqdm loop).  ``jax.device_get`` is the only
     reliable sync point on this backend (see docs/ROUND_NOTES.md)."""
+    def fetch(handles):
+        packed, spec = handles
+        return _unpack_fetch(np.asarray(jax.device_get(packed)), spec)
+
     pending = None
     for batch in loader:
         handles = enqueue(batch)
         if pending is not None:
             pb, ph = pending
-            process(pb, jax.device_get(ph))
+            process(pb, fetch(ph))
         pending = (batch, handles)
     if pending is not None:
         pb, ph = pending
-        process(pb, jax.device_get(ph))
+        process(pb, fetch(ph))
 
 
 def eval_one_epoch_joint(model, variables, cfg, loader, result_dir,
@@ -256,7 +288,7 @@ def eval_one_epoch_joint(model, variables, cfg, loader, result_dir,
             out = step(variables, dev["pts_input"], dev["gt_boxes3d"], dev["gt_valid"])
         else:
             out = step(variables, dev["pts_input"])
-        return {k: out[k] for k in fetch if k in out}
+        return _pack_fetch(out, fetch)
 
     def process(batch, out):
         nonlocal total_gt, final_total
@@ -433,7 +465,7 @@ def eval_one_epoch_rcnn_offline(model, variables, cfg, loader, result_dir,
             out = step(variables, *args, jnp.asarray(batch["gt_boxes3d"]))
         else:
             out = step(variables, *args)
-        return {k: out[k] for k in fetch if k in out}
+        return _pack_fetch(out, fetch)
 
     def process(batch, out):
         nonlocal total_gt
@@ -545,7 +577,7 @@ def eval_one_epoch_rpn(model, variables, cfg, loader, result_dir,
             out = step(variables, dev["pts_input"], dev["gt_boxes3d"])
         else:
             out = step(variables, dev["pts_input"])
-        return {k: out[k] for k in fetch if k in out}
+        return _pack_fetch(out, fetch)
 
     def process(batch, out):
         nonlocal total_gt, seg_correct, seg_union
