@@ -29,6 +29,23 @@ from pointrcnn_tpu.utils.np_geometry import (
     rotate_pc_along_y,
 )
 
+_warned_gt_trunc = False
+
+
+def _warn_gt_truncated(n: int, width: int) -> None:
+    """Warn (once) when a TRAIN scene carries more gt boxes than the fixed
+    pad width — dropped boxes would train their points as background."""
+    global _warned_gt_trunc
+    if not _warned_gt_trunc:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "collate_batch: %d gt boxes truncated to %d — points in dropped "
+            "boxes will be labeled background; raise RCNN.MAX_GT_BOXES",
+            n, width,
+        )
+        _warned_gt_trunc = True
+
 
 class KittiRCNNDataset(KittiDataset):
     def __init__(
@@ -797,6 +814,13 @@ class KittiRCNNDataset(KittiDataset):
         jit; reference pads to batch max, kitti_rcnn_dataset.py:1104-1137)."""
         cfg = self.cfg
         max_gt = cfg.RCNN.MAX_GT_BOXES
+        # GT paste-aug can push crowded TRAIN scenes past MAX_GT_BOXES, and
+        # the on-device label generator (train/labels.py) reads the padded
+        # tensor — a truncated box would silently label its points
+        # background.  Widen the TRAIN pad by the paste budget instead
+        # (still a fixed shape per config, so the train step jits once).
+        if self.mode == "TRAIN" and cfg.GT_AUG_ENABLED:
+            max_gt = max_gt + cfg.GT_EXTRA_NUM
         offline_rcnn_train = (
             cfg.RCNN.ENABLED and not cfg.RPN.ENABLED
             and not cfg.RCNN.ROI_SAMPLE_JIT and self.mode == "TRAIN"
@@ -830,6 +854,9 @@ class KittiRCNNDataset(KittiDataset):
                 valid = np.zeros((len(batch), width), bool)
                 for i, v in enumerate(vals):
                     n = min(len(v), width)
+                    if len(v) > width and key == "gt_boxes3d" \
+                            and self.mode == "TRAIN":
+                        _warn_gt_truncated(len(v), width)
                     padded[i, :n] = v[:n]
                     valid[i, :n] = True
                 out[key] = padded

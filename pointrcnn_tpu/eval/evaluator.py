@@ -185,8 +185,13 @@ def _cached_step(builder, model, cfg, with_gt: bool):
     The builders close over ``model``/``cfg``; a fresh ``jax.jit`` per call
     recompiles the whole two-stage graph (~50 s) on every epoch of an
     ``--eval_all`` sweep.  ConfigNode is hashable by design, so (builder,
-    cfg, mode, with_gt) identifies the traced program exactly."""
-    key = (builder.__name__, cfg, model.mode, with_gt)
+    cfg, mode, n_cls, with_gt) identifies the traced program exactly —
+    ``num_classes`` is user-overridable independently of cfg.CLASSES, so it
+    must key the cache too."""
+    from pointrcnn_tpu.models.point_rcnn import num_classes_for
+
+    n_cls = model.num_classes or num_classes_for(cfg)
+    key = (builder.__name__, cfg, model.mode, n_cls, with_gt)
     if key not in _STEP_CACHE:
         _STEP_CACHE[key] = builder(model, cfg, with_gt)
     return _STEP_CACHE[key]

@@ -183,11 +183,15 @@ def fused_group_mlp_max(xyz, features, new_xyz, idx, weights, biases,
         ``weights[0]`` has Cin = 3 + C when ``use_xyz`` else C.
     :return: (B, S, Cout) f32
 
-    Differentiable: the backward pass recomputes through the equivalent XLA
-    formulation (gather + dense MLP + max), so the op is safe anywhere under
-    ``jax.grad`` — in particular inside the rcnn-stage train step, where the
-    FIXED RPN runs this eval path under the loss gradient (its cotangents
-    are zero via stop_gradient, and XLA dead-code-eliminates the bwd).
+    Differentiable with a caveat: the backward pass recomputes through the
+    *XLA* formulation (bf16 group_points + fused_mlp_max) while the forward
+    kernel uses a commuted layer-1 P table — numerically equivalent in f32
+    but not bit-identical in bf16, so live gradients are of a slightly
+    different function than the forward values (mismatch on the order of
+    bf16 rounding).  That is exact where cotangents are zero — the intended
+    use, the FIXED RPN under ``stop_gradient`` inside the rcnn-stage train
+    step, where XLA dead-code-eliminates the bwd.  Training a module through
+    this op should prefer the XLA path (see ``fused_path_supported`` gates).
     """
     return _fused_group_mlp_max_diff(
         use_xyz, xyz, features, new_xyz, idx.astype(jnp.int32),

@@ -58,12 +58,17 @@ def roipool3d(
         # recall<1 can leave no-hit sentinels among real hits; backfill with
         # the first hit so downstream cyclic duplication stays in-box
         hits = jnp.where(hits >= N, jnp.minimum(hits[..., 0:1], N - 1), hits)
-    elif on_tpu:
+    elif on_tpu and B * boxes3d.shape[1] * N * num_sampled <= (1 << 33):
         # EXACT first-K-in-order selection (ops.common.first_k_in_order),
         # making the config-selectable exact path cheap (~2.6 ms over approx
         # at RCNN eval shapes instead of the ~40 ms a top_k sort costs).
         # Slots past the hit count come out 0; cyclic duplication below only
         # reads slots < cnt, so no sentinel/backfill is needed.
+        # The rank compare-and-reduce implies a LOGICAL (B, M, N, K) tensor
+        # that must stay fused (never hit HBM); that fusion is A/B-measured
+        # at the eval shapes 4x100x16384x512 = 2^31.6 cells.  Past ~2^33
+        # cells fall back to the materialisation-free top_k path below
+        # rather than bet on the compiler.
         hits = first_k_in_order(mask, num_sampled)
     else:
         order = jnp.where(

@@ -59,6 +59,9 @@ class Trainer:
         self.logger = logger or logging.getLogger(__name__)
         self.rng = jax.random.PRNGKey(rng_seed)
         self.train_step = make_train_step(model, cfg, tx)
+        # jitted ONCE here: a fresh closure per eval_epoch call would retrace
+        # + recompile the full joint graph (~50 s on TPU) every val epoch
+        self._eval_loss = jax.jit(self._val_loss_fn)
         # optional jax.profiler trace window (the reference has no tracing;
         # SURVEY §5 calls for jax.profiler hooks in the rebuild)
         self.profile_dir = profile_dir
@@ -111,21 +114,20 @@ class Trainer:
                     self.tb_log.add_scalar("val_loss", val_loss, it)
         return state, it
 
+    def _val_loss_fn(self, state, batch, rng):
+        out, _ = self.model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch, train=True, bn_momentum=0.0,
+            rngs={"dropout": rng, "target": rng}, mutable=["batch_stats"],
+        )
+        loss, _ = model_loss(self.cfg, out, batch)
+        return loss
+
     def eval_epoch(self, state, val_loader) -> float:
         """Loss-only validation (reference train_utils.py:140-168)."""
-        def loss_fn(state, batch, rng):
-            out, _ = self.model.apply(
-                {"params": state.params, "batch_stats": state.batch_stats},
-                batch, train=True, bn_momentum=0.0,
-                rngs={"dropout": rng, "target": rng}, mutable=["batch_stats"],
-            )
-            loss, _ = model_loss(self.cfg, out, batch)
-            return loss
-
-        eval_loss = jax.jit(loss_fn)
         total, count = 0.0, 0
         for batch in val_loader:
             device_batch = _batch_to_device(batch, self.mesh)
-            total += float(eval_loss(state, device_batch, self.rng))
+            total += float(self._eval_loss(state, device_batch, self.rng))
             count += 1
         return total / max(count, 1)

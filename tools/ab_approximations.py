@@ -203,6 +203,14 @@ def pipeline_ab(batch_pts):
             pairs += [k, str(v)]
         return merge_from_list(base, pairs) if pairs else base
 
+    # NOTE on 'approx' ball-query variants: ops/grouping.ball_query upgrades
+    # method='approx' to the exact first-K-in-order rank path for small
+    # tables (N <= 1024 on TPU) because it is BOTH faster and CUDA-parity
+    # there.  RCNN roi stages pool 512 points, so the RCNN.BALL_QUERY_METHOD
+    # toggle below only changes the RPN stages (N = 16384..256); any
+    # approx-vs-exact delta attributed to "ball query" is an RPN-stage
+    # delta.  kernel_ball_query above measures against N = 16384 tables and
+    # is unaffected.
     cfgs = {
         "all_exact": variant(**{"RPN.BALL_QUERY_METHOD": "exact",
                                 "RCNN.BALL_QUERY_METHOD": "exact",
