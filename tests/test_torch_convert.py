@@ -56,7 +56,9 @@ def build_torch_like_sd(params, stats, cfg):
                 sd[f"{prefix}.{ti}.bn.bn.running_var"] = np.asarray(st["var"])
             else:
                 sd[f"{prefix}.{ti}.conv.bias"] = np.asarray(c["Dense_0"]["bias"])
-        fi = torch_idx[-1] + 1
+        # dropout sits at Sequential index 1 -> final conv at hidden+1
+        # (matches the REAL reference layout, see tests/test_reference_convert.py)
+        fi = hidden + 1 if hidden > 0 else 0
         sd[f"{prefix}.{fi}.conv.weight"] = _inv_conv_w(p["Dense_0"]["kernel"])
         sd[f"{prefix}.{fi}.conv.bias"] = np.asarray(p["Dense_0"]["bias"])
 

@@ -52,14 +52,23 @@ def _shared_mlp_entries(sd, prefix, n_layers, bn):
     return params, stats
 
 
-def _head_entries(sd, prefix, hidden_count, bn):
-    """Reference Sequential([Conv1d x hidden, Dropout@1, Conv1d final])
-    -> our HeadMLP (ConvBN_i children + final Dense_0)."""
+def _head_entries(sd, prefix, hidden_count, bn, dropout=True):
+    """Reference head Sequential -> our HeadMLP (ConvBN_i + final Dense_0).
+
+    The reference builds [Conv1d x hidden, Conv1d final] and then, when
+    DP_RATIO >= 0, ``insert(1, Dropout)`` (lib/net/rpn.py:21-28,
+    lib/net/rcnn_net.py:46-54): with dropout the hidden convs sit at
+    Sequential indices 0, 2, 3, ..., hidden and the FINAL conv at
+    hidden+1 — including the hidden_count==1 case ([C0, D, Cf] -> final
+    at 2, cf. the init_weights reference to rpn_cls_layer[2])."""
     params: dict = {}
     stats: dict = {}
-    # torch Sequential indices: hidden convs at 0, 2, 3, ... (dropout at 1)
-    torch_idx = [0] + [i + 2 for i in range(hidden_count - 1)]
-    final_idx = torch_idx[-1] + 1 if hidden_count > 0 else 0
+    if dropout:
+        torch_idx = [0] + [i + 2 for i in range(hidden_count - 1)]
+        final_idx = hidden_count + 1 if hidden_count > 0 else 0
+    else:
+        torch_idx = list(range(hidden_count))
+        final_idx = hidden_count
     for our_i, ti in enumerate(torch_idx):
         cp = {"Dense_0": {"kernel": _conv_w(sd[f"{prefix}.{ti}.conv.weight"])}}
         if bn:
@@ -122,7 +131,8 @@ def convert_state_dict(sd: dict, cfg) -> tuple[dict, dict]:
             ("cls_head", "rpn.rpn_cls_layer", cfg.RPN.CLS_FC),
             ("reg_head", "rpn.rpn_reg_layer", cfg.RPN.REG_FC),
         ):
-            p, s = _head_entries(sd, ref_name, len(fcs), cfg.RPN.USE_BN)
+            p, s = _head_entries(sd, ref_name, len(fcs), cfg.RPN.USE_BN,
+                                 dropout=cfg.RPN.DP_RATIO >= 0)
             rpn_p[head] = p
             if s:
                 rpn_s[head] = s
@@ -155,7 +165,8 @@ def convert_state_dict(sd: dict, cfg) -> tuple[dict, dict]:
             ("cls_head", "rcnn_net.cls_layer", cfg.RCNN.CLS_FC),
             ("reg_head", "rcnn_net.reg_layer", cfg.RCNN.REG_FC),
         ):
-            p, s = _head_entries(sd, ref_name, len(fcs), cfg.RCNN.USE_BN)
+            p, s = _head_entries(sd, ref_name, len(fcs), cfg.RCNN.USE_BN,
+                                 dropout=cfg.RCNN.DP_RATIO >= 0)
             rc_p[head] = p
             if s:
                 rc_s[head] = s
