@@ -61,10 +61,25 @@ def main():
     fps = BATCH * ITERS / dt
     import sys
 
+    # MFU: analytic matmul FLOPs of the forward (utils/flops.py; XLA
+    # cost_analysis can't serve — Pallas custom calls report 0 flops and
+    # one-hot MXU gathers inflate the count with data movement)
+    from pointrcnn_tpu.utils.flops import device_peak_flops, eval_forward_flops
+
+    fc = eval_forward_flops(cfg, mode="TEST")
+    peak, kind = device_peak_flops(jax.devices()[0])
+    mfu = fps * fc.mlp / peak
+
     print(
         "note: vs_baseline anchors to an ASSUMED 10 fps for the reference "
         "implementation (it publishes no throughput numbers; 10 fps is a "
         "representative full-eval-loop rate on its era 1080Ti-class GPU)",
+        file=sys.stderr,
+    )
+    print(
+        f"note: MFU numerator = {fc.mlp / 1e9:.1f} GF/frame model matmuls "
+        f"(+{fc.geometry / 1e9:.1f} GF geometry, excluded); peak = "
+        f"{peak / 1e12:.0f} TF/s bf16 on {kind}",
         file=sys.stderr,
     )
     print(
@@ -74,6 +89,8 @@ def main():
                 "value": round(fps, 3),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(fps / REFERENCE_FPS, 3),
+                "model_gflops_per_frame": round(fc.mlp / 1e9, 3),
+                "mfu": round(mfu, 4),
             }
         )
     )

@@ -23,6 +23,17 @@ from pointrcnn_tpu.utils.np_geometry import boxes3d_to_corners3d
 THRESH_LIST = (0.1, 0.3, 0.5, 0.7, 0.9)
 
 
+def seg_iou_sample(seg_result, rpn_cls_label) -> float:
+    """Foreground seg IoU of ONE sample (reference eval_rcnn.py:209-213):
+    correct / max(fg + positive - correct, 1)."""
+    seg = np.asarray(seg_result).astype(np.int64)
+    label = np.asarray(rpn_cls_label).astype(np.int64)
+    fg = label > 0
+    correct = float(((seg == label) & fg).sum())
+    union = float(fg.sum()) + float((seg > 0).sum()) - correct
+    return correct / max(union, 1.0)
+
+
 FG_CLASS_NAMES = {
     "Car": ("Car",),
     "Pedestrian": ("Pedestrian",),
@@ -566,7 +577,7 @@ def eval_one_epoch_rpn(model, variables, cfg, loader, result_dir,
 
     total_recalled = np.zeros(len(THRESH_LIST), np.int64)
     total_gt = 0
-    seg_correct = seg_union = 0.0
+    seg_iou_sum, seg_cnt = 0.0, 0
 
     fetch = ["rois", "roi_valid", "roi_scores_raw", "seg_result"]
     if with_gt:
@@ -585,7 +596,7 @@ def eval_one_epoch_rpn(model, variables, cfg, loader, result_dir,
         return _pack_fetch(out, fetch)
 
     def process(batch, out):
-        nonlocal total_gt, seg_correct, seg_union
+        nonlocal total_gt, seg_iou_sum, seg_cnt
         B = batch["pts_input"].shape[0]
 
         if with_gt and "roi_gt_max_iou" in out:
@@ -598,13 +609,13 @@ def eval_one_epoch_rpn(model, variables, cfg, loader, result_dir,
                     total_recalled[i] += int((gmi > th).sum())
                 total_gt += int(v.sum())
             if "rpn_cls_label" in batch:
-                label = batch["rpn_cls_label"]
-                seg = out["seg_result"].astype(np.int64)
-                fg = label > 0
-                correct = ((seg == label) & fg).sum()
-                union = fg.sum() + (seg > 0).sum() - correct
-                seg_correct += float(correct)
-                seg_union += float(max(union, 1))
+                # macro-average over samples, as the reference does
+                # (rpn_iou_avg summed per sample / cnt, eval_rcnn.py:209-213,141)
+                for k in range(B):
+                    seg_iou_sum += seg_iou_sample(
+                        out["seg_result"][k], batch["rpn_cls_label"][k]
+                    )
+                    seg_cnt += 1
 
         for k in range(B):
             sample_id = int(batch["sample_id"][k])
@@ -631,6 +642,6 @@ def eval_one_epoch_rpn(model, variables, cfg, loader, result_dir,
     for i, th in enumerate(THRESH_LIST):
         ret[f"recall_{th}"] = total_recalled[i] / max(total_gt, 1)
         logger.info("rpn recall@%.1f: %.4f", th, ret[f"recall_{th}"])
-    if seg_union > 0:
-        ret["rpn_seg_iou"] = seg_correct / seg_union
+    if seg_cnt > 0:
+        ret["rpn_seg_iou"] = seg_iou_sum / seg_cnt
     return ret, rpn_output_dir
