@@ -1,18 +1,43 @@
 """Host-side data loading with background prefetch.
 
 Replaces the reference's torch DataLoader worker-process pool
-(train_rcnn.py:71-85) with a thread-pool prefetcher: samples are built by the
-(numpy, GIL-releasing) dataset pipeline on background threads while the TPU
-executes the previous step, and batches are optionally pushed to device ahead
-of time (double buffering into HBM).
+(train_rcnn.py:71-85) with a prefetcher in one of two modes:
+
+- thread pool (default): samples are built by the (numpy, GIL-releasing)
+  dataset pipeline on background threads while the TPU executes the
+  previous step.  Right on small hosts and when the pipeline is
+  numpy-dominated.
+- process pool (``use_processes=True``): fork-based workers, one dataset
+  copy inherited copy-on-write per worker — the reference's
+  ``DataLoader(num_workers=8)`` shape (train_rcnn.py:71-73).  Right on
+  multi-core hosts where Python-level sections (collate, label objects,
+  list handling) would contend on the GIL.
+
+``num_workers=None`` resolves to ``min(8, os.cpu_count())`` — the
+reference's worker count, scaled down on small hosts.
 """
 
 from __future__ import annotations
 
+import multiprocessing
+import os
 from collections import deque
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 
 import numpy as np
+
+# fork-inherited state for process workers: (dataset, seed).  Set by
+# DataLoader.__iter__ immediately before pool creation; children inherit it
+# through fork, so the dataset (incl. the gt-database pickle) is never
+# serialized per task.
+_FORK_STATE: list = [None]
+
+
+def _proc_make_sample(args):
+    dataset, seed = _FORK_STATE[0]
+    epoch, idx = args
+    rng = np.random.RandomState((seed + 100003 * epoch + 31 * int(idx)) % (2**31 - 1))
+    return dataset.getitem(int(idx), rng)
 
 
 class DataLoader:
@@ -21,18 +46,22 @@ class DataLoader:
         dataset,
         batch_size: int,
         shuffle: bool = False,
-        num_workers: int = 2,
+        num_workers: int | None = 2,
         drop_last: bool = False,
         seed: int = 0,
         prefetch: int = 2,
+        use_processes: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
+        if num_workers is None:
+            num_workers = min(8, os.cpu_count() or 1)
         self.num_workers = max(1, num_workers)
         self.drop_last = drop_last
         self.seed = seed
         self.prefetch = prefetch
+        self.use_processes = use_processes
         self.epoch = 0
 
     def __len__(self):
@@ -63,11 +92,19 @@ class DataLoader:
 
     def __iter__(self):
         batch_iter = self._batches()
-        # Per-sample jobs fan out over num_workers threads (the pipeline is
-        # numpy-heavy and releases the GIL); up to `prefetch` whole batches
-        # are in flight ahead of the consumer, so sample building for batch
-        # k+1..k+prefetch overlaps the device step on batch k.
-        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        # Per-sample jobs fan out over num_workers; up to `prefetch` whole
+        # batches are in flight ahead of the consumer, so sample building for
+        # batch k+1..k+prefetch overlaps the device step on batch k.
+        if self.use_processes and hasattr(multiprocessing, "get_context"):
+            _FORK_STATE[0] = (self.dataset, self.seed)
+            pool = ProcessPoolExecutor(
+                max_workers=self.num_workers,
+                mp_context=multiprocessing.get_context("fork"),
+            )
+            submit = lambda i: pool.submit(_proc_make_sample, (self.epoch, int(i)))
+        else:
+            pool = ThreadPoolExecutor(max_workers=self.num_workers)
+            submit = lambda i: pool.submit(self._make_sample, int(i))
         pending: deque = deque()
 
         def fill():
@@ -75,9 +112,7 @@ class DataLoader:
                 indices = next(batch_iter, None)
                 if indices is None:
                     return
-                pending.append(
-                    [pool.submit(self._make_sample, int(i)) for i in indices]
-                )
+                pending.append([submit(int(i)) for i in indices])
 
         try:
             fill()

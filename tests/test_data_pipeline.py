@@ -143,6 +143,25 @@ def test_loader_workers_deterministic(kitti_root):
                 assert str(va) == str(vb)
 
 
+def test_loader_process_pool_matches_threads(kitti_root):
+    """use_processes=True (fork workers, the reference DataLoader shape)
+    yields batches identical to the thread mode: per-sample RNG depends only
+    on (seed, epoch, idx), and the dataset is fork-inherited, not pickled."""
+    root, _ = kitti_root
+    cfg = cfg_for_data()
+    ds = KittiRCNNDataset(root, cfg, npoints=1024, split="train", mode="TRAIN")
+    threads = list(DataLoader(ds, batch_size=2, shuffle=True, seed=7, num_workers=2))
+    procs = list(DataLoader(ds, batch_size=2, shuffle=True, seed=7, num_workers=2,
+                            use_processes=True))
+    assert len(threads) == len(procs)
+    for a, b in zip(threads, procs):
+        assert sorted(a.keys()) == sorted(b.keys())
+        for k in a:
+            va, vb = a[k], b[k]
+            if isinstance(va, np.ndarray) and va.dtype != object:
+                np.testing.assert_array_equal(va, vb)
+
+
 def test_loader_early_exit_cancels_pending(kitti_root):
     root, _ = kitti_root
     cfg = cfg_for_data()

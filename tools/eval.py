@@ -35,7 +35,11 @@ def parse_args():
                         "checkpoints (reference repeat_eval_ckpt, eval_rcnn.py:784-841)")
     p.add_argument("--test", action="store_true", help="test split (no labels)")
     p.add_argument("--batch_size", type=int, default=4)
-    p.add_argument("--workers", type=int, default=4)
+    p.add_argument("--workers", type=int, default=None,
+                   help="loader workers (default: min(8, cpu_count))")
+    p.add_argument("--worker_processes", action="store_true",
+                   help="fork process-pool workers instead of threads "
+                        "(the reference DataLoader shape; for multi-core hosts)")
     p.add_argument("--data_root", type=str, default="data")
     p.add_argument("--output_dir", type=str, default=None)
     p.add_argument("--save_rpn_feature", action="store_true")
@@ -92,7 +96,8 @@ def eval_ckpt(args, cfg, ckpt_path, logger):
         # host label pass for the joint/offline modes
         rpn_eval_labels=(args.eval_mode == "rpn"),
     )
-    loader = DataLoader(dataset, batch_size=args.batch_size, num_workers=args.workers)
+    loader = DataLoader(dataset, batch_size=args.batch_size, num_workers=args.workers,
+                        use_processes=args.worker_processes)
 
     from pointrcnn_tpu.parallel.mesh import make_mesh
 

@@ -28,7 +28,11 @@ def parse_args():
                    help="rpn feature npys for offline rcnn training")
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--epochs", type=int, default=200)
-    p.add_argument("--workers", type=int, default=4)
+    p.add_argument("--workers", type=int, default=None,
+                   help="loader workers (default: min(8, cpu_count))")
+    p.add_argument("--worker_processes", action="store_true",
+                   help="fork process-pool workers instead of threads "
+                        "(the reference DataLoader shape; for multi-core hosts)")
     p.add_argument("--ckpt_save_interval", type=int, default=5)
     p.add_argument("--output_dir", type=str, default=None)
     p.add_argument("--ckpt", type=str, default=None, help="resume checkpoint")
@@ -120,6 +124,7 @@ def main():
     train_loader = DataLoader(
         train_set, batch_size=args.batch_size, shuffle=True,
         num_workers=args.workers, drop_last=True, seed=args.seed,
+        use_processes=args.worker_processes,
     )
     val_loader = None
     if args.train_with_eval:
@@ -127,7 +132,8 @@ def main():
             args.data_root, cfg, npoints=cfg.RPN.NUM_POINTS, split=cfg.TRAIN.VAL_SPLIT,
             mode="EVAL", classes=cfg.CLASSES, logger=logger,
         )
-        val_loader = DataLoader(val_set, batch_size=args.batch_size, num_workers=args.workers)
+        val_loader = DataLoader(val_set, batch_size=args.batch_size, num_workers=args.workers,
+                                use_processes=args.worker_processes)
 
     model = PointRCNN(cfg=cfg, mode="TRAIN")
     steps_per_epoch = len(train_loader)
