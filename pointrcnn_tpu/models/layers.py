@@ -175,6 +175,27 @@ class SharedMLP(nn.Module):
                                  g_use_xyz, out_dtype=dt)
             return fused_mlp_max(x, ws, bs, compute_dtype=dt)
 
+        if reduce_max and train and not self.bn and group_args is not None:
+            # BN-free stack under training (the RCNN SA stack,
+            # RCNN.USE_BN=False): no batch statistics to track, so the eval
+            # kernel's semantics apply and the fused op's Pallas *backward*
+            # (ops.pallas_mlp._pallas_bwd) keeps the (B, S, K, C)
+            # neighborhoods out of HBM in the VJP too.  Only taken when the
+            # kernel actually runs — the XLA fallback inside the fused path
+            # rounds activations to bf16 between layers, a precision cut the
+            # generic path below doesn't make.
+            from pointrcnn_tpu.ops.pallas_mlp import (
+                fused_group_mlp_max,
+                fused_group_mlp_max_supported,
+            )
+
+            if fused_group_mlp_max_supported(g_feats, g_idx, jnp.dtype(dt)):
+                ws = [w for w, *_ in layers]
+                bs = [b for _, b, *_ in layers]
+                return fused_group_mlp_max(
+                    g_xyz, g_feats, g_new_xyz, g_idx, ws, bs, g_use_xyz
+                )
+
         if group_args is not None:
             from pointrcnn_tpu.ops.grouping import group_points
 

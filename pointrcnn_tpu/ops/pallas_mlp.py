@@ -26,9 +26,13 @@ Two flop-saving table tricks:
   hi and lo recombine inside the in-kernel matmul: (hi - c)w + lo*w = (x-c)w.
 
 Used by models.layers.SharedMLP on the eval path (BatchNorm folded into the
-weights); training keeps the XLA formulation (batch statistics need the full
-pre-activation tensor).  Reference semantics: QueryAndGroup + SharedMLP +
-max_pool2d (Pointnet2.PyTorch, consumed at rcnn_net.py:28-42).
+weights) and, for BN-free stacks (the RCNN SA stack), on the training path
+too: a matching Pallas *backward* kernel (bottom of this file) recomputes the
+gather+MLP in VMEM and backprops in-core, so neither direction materialises
+the (B, S, K, C) neighborhoods in HBM.  BN'd stacks under training keep the
+XLA formulation (batch statistics need the full pre-activation tensor).
+Reference semantics: QueryAndGroup + SharedMLP + max_pool2d
+(Pointnet2.PyTorch, consumed at rcnn_net.py:28-42).
 """
 
 from __future__ import annotations
@@ -39,6 +43,10 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# interpret mode for CPU-side CI of the kernels (tests monkeypatch this;
+# every pallas_call below threads it)
+_INTERPRET = False
 
 # max centroids per grid step (tuned on v5e; VMEM at chunk 128, K=64, N=512:
 # one-hot bf16 8 MB + gathered f32 8 MB fits with double-buffered blocks off)
@@ -106,7 +114,6 @@ def _make_kernel(n_layers: int, K: int, f0p: int, use_xyz: bool):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("use_xyz", "f0p"))
 def _fused_group(table, idx, cent, w0x, ws, bs, use_xyz, f0p):
     B, N, CT = table.shape
     S, K = idx.shape[1], idx.shape[2]
@@ -143,6 +150,7 @@ def _fused_group(table, idx, cent, w0x, ws, bs, use_xyz, f0p):
             (1, chunk_s, cout), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, S, cout), jnp.float32),
+        interpret=_INTERPRET,
     )(*operands)
 
 
@@ -183,15 +191,16 @@ def fused_group_mlp_max(xyz, features, new_xyz, idx, weights, biases,
         ``weights[0]`` has Cin = 3 + C when ``use_xyz`` else C.
     :return: (B, S, Cout) f32
 
-    Differentiable with a caveat: the backward pass recomputes through the
-    *XLA* formulation (bf16 group_points + fused_mlp_max) while the forward
-    kernel uses a commuted layer-1 P table — numerically equivalent in f32
-    but not bit-identical in bf16, so live gradients are of a slightly
-    different function than the forward values (mismatch on the order of
-    bf16 rounding).  That is exact where cotangents are zero — the intended
-    use, the FIXED RPN under ``stop_gradient`` inside the rcnn-stage train
-    step, where XLA dead-code-eliminates the bwd.  Training a module through
-    this op should prefer the XLA path (see ``fused_path_supported`` gates).
+    Differentiable.  Within :func:`fused_group_bwd_supported` shapes the VJP
+    is a Pallas kernel that recomputes the forward *bit-identically* (same
+    contraction dims and rounding points) and backprops in-core — gradients
+    are of exactly the function the forward evaluated, to the bf16 precision
+    of the backward matmuls themselves.  Outside those shapes the VJP falls
+    back to differentiating the ungrouped XLA formulation (bf16
+    group_points + fused_mlp_max): numerically equivalent in f32 but a
+    different bf16 rounding order than the kernel, so near relu/max ties the
+    fallback gradients can diverge locally — fine in practice (and exact
+    where cotangents are zero, e.g. the FIXED RPN under ``stop_gradient``).
     """
     return _fused_group_mlp_max_diff(
         use_xyz, xyz, features, new_xyz, idx.astype(jnp.int32),
@@ -209,14 +218,27 @@ def _fused_group_mlp_max_diff(use_xyz, xyz, features, new_xyz, idx, weights,
 
 def _fused_group_mlp_max_fwd(use_xyz, xyz, features, new_xyz, idx, weights,
                              biases):
-    out = _fused_group_mlp_max_impl(
+    out_full = _fused_group_mlp_max_full(
         use_xyz, xyz, features, new_xyz, idx, weights, biases
     )
-    return out, (xyz, features, new_xyz, idx, weights, biases)
+    out = out_full[..., : weights[0].shape[1]] if len(weights) == 1 else out_full
+    return out, (xyz, features, new_xyz, idx, weights, biases, out_full)
 
 
 def _fused_group_mlp_max_bwd(use_xyz, res, ct):
-    xyz, features, new_xyz, idx, weights, biases = res
+    xyz, features, new_xyz, idx, weights, biases, out_full = res
+    import numpy as _np
+
+    gidx = _np.zeros(idx.shape, jax.dtypes.float0)
+
+    if fused_group_bwd_supported(features, idx):
+        gx, gf, gn, gw, gb = _pallas_bwd(
+            use_xyz, xyz, features, new_xyz, idx, weights, biases, out_full, ct
+        )
+        return gx, gf, gn, gidx, gw, gb
+
+    # fallback: differentiate the ungrouped XLA formulation (numerically
+    # equivalent in f32 but a different bf16 rounding order than the kernel)
     from pointrcnn_tpu.ops.grouping import group_points
 
     def reference(xyz, features, new_xyz, weights, biases):
@@ -226,27 +248,28 @@ def _fused_group_mlp_max_bwd(use_xyz, res, ct):
 
     _, vjp = jax.vjp(reference, xyz, features, new_xyz, weights, biases)
     gx, gf, gn, gw, gb = vjp(ct)
-    import numpy as _np
-
-    gidx = _np.zeros(idx.shape, jax.dtypes.float0)
     return gx, gf, gn, gidx, gw, gb
 
 
 _fused_group_mlp_max_diff.defvjp(_fused_group_mlp_max_fwd, _fused_group_mlp_max_bwd)
 
 
-def _fused_group_mlp_max_impl(use_xyz, xyz, features, new_xyz, idx, weights,
-                              biases):
+def _pad_lanes(a, width, axis):
+    pads = [(0, 0)] * a.ndim
+    pads[axis] = (0, width - a.shape[axis])
+    return jnp.pad(a, pads) if width != a.shape[axis] else a
+
+
+def _prepare_operands(use_xyz, xyz, features, new_xyz, weights, biases):
+    """Build the kernel operands shared by the forward and backward passes:
+    the gather table (commuted layer-1 P lanes + hi/lo geometry lanes), the
+    padded centroid block, the duplicated layer-1 xyz weight rows, and the
+    lane-padded deeper weights/biases."""
     B, N, C = features.shape
-    S = idx.shape[1]
+    S = new_xyz.shape[1]
     w0 = weights[0]
     f0 = w0.shape[1]
     f0p = _ceil128(f0)
-
-    def pad_lanes(a, width, axis):
-        pads = [(0, 0)] * a.ndim
-        pads[axis] = (0, width - a.shape[axis])
-        return jnp.pad(a, pads) if width != a.shape[axis] else a
 
     if use_xyz:
         w0x3, w0f = w0[:3], w0[3:]
@@ -273,19 +296,277 @@ def _fused_group_mlp_max_impl(use_xyz, xyz, features, new_xyz, idx, weights,
         w0x = jnp.zeros((_GEO, f0p), jnp.float32)
         w0x = w0x.at[0:3, :f0].set(w0x3).at[3:6, :f0].set(w0x3)
     else:
-        table, cent, w0x = pad_lanes(P, f0p, 2), None, None
+        table, cent, w0x = _pad_lanes(P, f0p, 2), None, None
     # padded layer-1 lanes carry zero P, zero bias and zero w1 rows, so they
     # stay zero through the ReLU and contribute nothing downstream
-    ws = [pad_lanes(weights[1].astype(jnp.float32), f0p, 0)] if len(weights) > 1 else []
+    ws = [_pad_lanes(weights[1].astype(jnp.float32), f0p, 0)] if len(weights) > 1 else []
     ws += [w.astype(jnp.float32) for w in weights[2:]]
-    bs = [pad_lanes(biases[0].reshape(1, -1).astype(jnp.float32), f0p, 1)]
+    bs = [_pad_lanes(biases[0].reshape(1, -1).astype(jnp.float32), f0p, 1)]
     bs += [b.reshape(1, -1).astype(jnp.float32) for b in biases[1:]]
-    out = _fused_group(
-        table, idx.astype(jnp.int32), cent, w0x, tuple(ws), tuple(bs),
-        use_xyz, f0p,
+    return table, cent, w0x, tuple(ws), tuple(bs), f0, f0p
+
+
+def _fused_group_mlp_max_full(use_xyz, xyz, features, new_xyz, idx, weights,
+                              biases):
+    table, cent, w0x, ws, bs, f0, f0p = _prepare_operands(
+        use_xyz, xyz, features, new_xyz, weights, biases
+    )
+    return _fused_group(
+        table, idx.astype(jnp.int32), cent, w0x, ws, bs, use_xyz, f0p
+    )
+
+
+def _fused_group_mlp_max_impl(use_xyz, xyz, features, new_xyz, idx, weights,
+                              biases):
+    out = _fused_group_mlp_max_full(
+        use_xyz, xyz, features, new_xyz, idx, weights, biases
     )
     # single-layer stacks max over the padded layer-1 lanes; trim them
-    return out[..., :f0] if len(weights) == 1 else out
+    return out[..., : weights[0].shape[1]] if len(weights) == 1 else out
+
+
+# ---------------------------------------------------------------------------
+# Pallas backward: recompute the gather+MLP in VMEM, backprop in-core.
+#
+# The XLA backward of this op is HBM-bound: it materialises the (B, S, K, C)
+# neighborhood activations and the (B, S*K, N) one-hot operand of the
+# transposed gather (dtable = oh^T @ dgathered) in HBM — ~38 ms of the 49 ms
+# RCNN-stage backward at the production shapes.  This kernel rebuilds the
+# one-hot and re-runs the (cheap, MXU-bound) forward per centroid chunk in
+# VMEM, then chains the backward in-core, accumulating dW/db across all grid
+# steps and dtable across the centroid chunks of each batch row.  Nothing of
+# size (S*K) ever reaches HBM.
+# ---------------------------------------------------------------------------
+
+# smaller row budget than the forward: the backward keeps ~3x the live
+# buffers (activations + their cotangents + the dgather block)
+_MAX_ROWS_BWD = 2048
+
+
+def _pick_chunk_bwd(S: int, K: int) -> int:
+    chunk = min(_CHUNK_S_MAX, S, max(1, _MAX_ROWS_BWD // K))
+    while S % chunk:
+        chunk -= 1
+    return chunk
+
+
+def fused_group_bwd_supported(features, idx) -> bool:
+    if not _INTERPRET and jax.default_backend() not in ("tpu", "axon"):
+        return False
+    if features is None:
+        return False
+    B, N, C = features.shape
+    S, K = idx.shape[1], idx.shape[2]
+    chunk = _pick_chunk_bwd(S, K)
+    return N <= _MAX_N and chunk >= 8 and chunk * K * N <= _MAX_OH_CELLS
+
+
+def _make_bwd_kernel(n_layers: int, K: int, f0p: int, use_xyz: bool):
+    def kernel(*refs):
+        p = 0
+        table_ref = refs[p]; p += 1
+        idx_ref = refs[p]; p += 1
+        if use_xyz:
+            cent_ref = refs[p]; p += 1
+            w0x_ref = refs[p]; p += 1
+        ws = refs[p : p + n_layers - 1]; p += n_layers - 1
+        bs = refs[p : p + n_layers]; p += n_layers
+        out_ref = refs[p]; p += 1
+        ct_ref = refs[p]; p += 1
+        dtable_ref = refs[p]; p += 1
+        if use_xyz:
+            dcent_ref = refs[p]; p += 1
+            dw0x_ref = refs[p]; p += 1
+        dws = refs[p : p + n_layers - 1]; p += n_layers - 1
+        dbs = refs[p : p + n_layers]; p += n_layers
+
+        b = pl.program_id(0)
+        s = pl.program_id(1)
+
+        # dtable accumulates over the centroid chunks of one batch row;
+        # dW/db accumulate over the whole grid (their blocks are pinned)
+        @pl.when(s == 0)
+        def _zero_dtable():
+            dtable_ref[...] = jnp.zeros(dtable_ref.shape, dtable_ref.dtype)
+
+        @pl.when(jnp.logical_and(b == 0, s == 0))
+        def _zero_params():
+            if use_xyz:
+                dw0x_ref[...] = jnp.zeros(dw0x_ref.shape, dw0x_ref.dtype)
+            for r in dws:
+                r[...] = jnp.zeros(r.shape, r.dtype)
+            for r in dbs:
+                r[...] = jnp.zeros(r.shape, r.dtype)
+
+        n = table_ref.shape[1]
+        s_chunk = idx_ref.shape[1]
+        rows = s_chunk * K
+
+        def dot_tn(a, c):  # a^T @ c, contracting rows
+            return jax.lax.dot_general(
+                a.astype(jnp.bfloat16), c.astype(jnp.bfloat16),
+                (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+        def dot_nt(c, w):  # c @ w^T, contracting lanes
+            return jax.lax.dot_general(
+                c.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+
+        # ---- recompute the forward, bit-identical to the fwd kernel (same
+        # contraction dims, so the MXU accumulation order matches and the
+        # relu/max masks are exact) ----
+        idx3 = idx_ref[0][:, :, None]
+        cols3 = jax.lax.broadcasted_iota(jnp.int32, (s_chunk, K, n), 2)
+        oh = (cols3 == idx3).astype(jnp.bfloat16).reshape(rows, n)
+        g = jnp.dot(oh, table_ref[0], preferred_element_type=jnp.float32)
+        x = g[:, :f0p]
+        if use_xyz:
+            geo = g[:, f0p:]
+            rel = (geo.reshape(s_chunk, K, _GEO)
+                   - cent_ref[0][:, None, :]).reshape(rows, _GEO)
+            x = x + jnp.dot(rel.astype(jnp.bfloat16),
+                            w0x_ref[...].astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+        acts = [jnp.maximum(x + bs[0][...].astype(jnp.float32), 0.0)]
+        for i in range(1, n_layers):
+            x = jnp.dot(acts[-1].astype(jnp.bfloat16),
+                        ws[i - 1][...].astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+            acts.append(jnp.maximum(x + bs[i][...].astype(jnp.float32), 0.0))
+
+        a_last = acts[-1]
+        cout = a_last.shape[-1]
+
+        # ---- K-max backward: even split among ties (jnp.max convention) ----
+        a3 = a_last.reshape(s_chunk, K, cout)
+        mx = out_ref[0]
+        eqm = (a3 == mx[:, None, :]).astype(jnp.float32)
+        cnt = jnp.maximum(jnp.sum(eqm, axis=1), 1.0)
+        da = (eqm * (ct_ref[0] / cnt)[:, None, :]).reshape(rows, cout)
+
+        # ---- MLP backward (relu mask: post-relu a > 0 <=> pre-act > 0) ----
+        dz = da * (a_last > 0)
+        for i in range(n_layers - 1, 0, -1):
+            a_prev = acts[i - 1]
+            dws[i - 1][...] += dot_tn(a_prev, dz)
+            dbs[i][...] += jnp.sum(dz, axis=0, keepdims=True)
+            dz = dot_nt(dz, ws[i - 1][...]) * (a_prev > 0)
+
+        dbs[0][...] += jnp.sum(dz, axis=0, keepdims=True)
+        if use_xyz:
+            dw0x_ref[...] += dot_tn(rel, dz)
+            drel = dot_nt(dz, w0x_ref[...])
+            dcent_ref[0] = -jnp.sum(drel.reshape(s_chunk, K, _GEO), axis=1)
+            dgather = jnp.concatenate([dz, drel], axis=1)  # (rows, CT)
+        else:
+            dgather = dz
+        # transposed gather: scatter-add of dgather back to table rows
+        dtable_ref[0] += dot_tn(oh, dgather)
+
+    return kernel
+
+
+def _pallas_bwd(use_xyz, xyz, features, new_xyz, idx, weights, biases,
+                out_full, ct):
+    B, N, C = features.shape
+    S, K = idx.shape[1], idx.shape[2]
+    table, cent, w0x, ws, bs, f0, f0p = _prepare_operands(
+        use_xyz, xyz, features, new_xyz, weights, biases
+    )
+    n_layers = 1 + len(ws)
+    cout = out_full.shape[-1]
+    ct_full = ct if ct.shape[-1] == cout else _pad_lanes(
+        ct.astype(jnp.float32), cout, 2)
+    chunk_s = _pick_chunk_bwd(S, K)
+    grid = (B, S // chunk_s)
+    CT = table.shape[-1]
+
+    fixed = lambda b, s: (0, 0)
+    in_specs = [
+        pl.BlockSpec((1, N, CT), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, chunk_s, K), lambda b, s: (b, s, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [table, idx.astype(jnp.int32)]
+    if use_xyz:
+        in_specs.append(pl.BlockSpec((1, chunk_s, _GEO), lambda b, s: (b, s, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(cent)
+        in_specs.append(pl.BlockSpec(w0x.shape, fixed, memory_space=pltpu.VMEM))
+        operands.append(w0x)
+    for w in ws:
+        in_specs.append(pl.BlockSpec(w.shape, fixed, memory_space=pltpu.VMEM))
+        operands.append(w)
+    for bb in bs:
+        in_specs.append(pl.BlockSpec(bb.shape, fixed, memory_space=pltpu.VMEM))
+        operands.append(bb)
+    for a in (out_full, ct_full):
+        in_specs.append(pl.BlockSpec((1, chunk_s, cout), lambda b, s: (b, s, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(a.astype(jnp.float32))
+
+    out_shape = [jax.ShapeDtypeStruct((B, N, CT), jnp.float32)]
+    out_specs = [pl.BlockSpec((1, N, CT), lambda b, s: (b, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    if use_xyz:
+        out_shape.append(jax.ShapeDtypeStruct((B, S, _GEO), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, chunk_s, _GEO), lambda b, s: (b, s, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct(w0x.shape, jnp.float32))
+        out_specs.append(pl.BlockSpec(w0x.shape, fixed, memory_space=pltpu.VMEM))
+    for w in ws:
+        out_shape.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
+        out_specs.append(pl.BlockSpec(w.shape, fixed, memory_space=pltpu.VMEM))
+    for bb in bs:
+        out_shape.append(jax.ShapeDtypeStruct(bb.shape, jnp.float32))
+        out_specs.append(pl.BlockSpec(bb.shape, fixed, memory_space=pltpu.VMEM))
+
+    res = pl.pallas_call(
+        _make_bwd_kernel(n_layers, K, f0p, use_xyz),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=_INTERPRET,
+    )(*operands)
+
+    k = 0
+    dtable = res[k]; k += 1
+    if use_xyz:
+        dcent = res[k]; k += 1
+        dw0x_dup = res[k]; k += 1
+    dws_pad = res[k : k + n_layers - 1]; k += n_layers - 1
+    dbs_pad = res[k : k + n_layers]
+
+    # assemble parameter-space grads from the table/commuted-lane grads
+    w0 = weights[0]
+    w0f = w0[3:] if use_xyz else w0
+    dP = dtable[..., :f0]
+    # P = features_bf16 @ w0f_bf16 (see _prepare_operands)
+    dfeatures = jax.lax.dot_general(
+        dP.astype(jnp.bfloat16), w0f.astype(jnp.bfloat16),
+        (((2,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    dw0f = jnp.einsum(
+        "bnc,bnf->cf", features.astype(jnp.bfloat16), dP.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32)
+    if use_xyz:
+        # x rides the table as a bf16 hi/lo pair; the casts carry identity /
+        # zero derivative respectively, so dxyz is the hi-lane grad alone
+        dxyz = dtable[..., f0p : f0p + 3]
+        dnew_xyz = dcent[..., :3]
+        # the hi and lo weight rows are the same parameter w0[:3]
+        dw0x3 = dw0x_dup[0:3, :f0] + dw0x_dup[3:6, :f0]
+        dw0 = jnp.concatenate([dw0x3, dw0f], axis=0)
+    else:
+        dxyz = jnp.zeros_like(xyz)
+        dnew_xyz = jnp.zeros_like(new_xyz)
+        dw0 = dw0f
+    dws_out = [dw0]
+    if n_layers > 1:
+        dws_out.append(dws_pad[0][:f0])  # trim the padded layer-1 lanes
+        dws_out += list(dws_pad[1:])
+    dbs_out = [dbs_pad[0][0, :f0]] + [d[0] for d in dbs_pad[1:]]
+    return (dxyz, dfeatures, dnew_xyz, tuple(dws_out), tuple(dbs_out))
 
 
 def fused_mlp_max(grouped, weights, biases, compute_dtype=jnp.bfloat16):
