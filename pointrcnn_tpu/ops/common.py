@@ -54,6 +54,21 @@ def square_distance(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(a2 + b2 - 2.0 * ab, 0.0)
 
 
+def square_distance_exact(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Direct-difference pairwise squared distance (same shapes as
+    :func:`square_distance`).
+
+    f32-faithful to the CUDA kernels' per-pair dx^2+dy^2+dz^2 arithmetic
+    (ball_query_gpu.cu and friends): the matmul form above, even centered,
+    rounds differently and can flip in-radius membership for points at the
+    radius boundary.  VPU-bound ((S, N, 3) broadcast), so reserved for the
+    ``method='exact'`` CUDA-parity selection paths; the production approx
+    paths keep the MXU form.
+    """
+    d = a[..., :, None, :] - b[..., None, :, :]
+    return jnp.sum(d * d, axis=-1)
+
+
 def chunked_map(fn, x: jnp.ndarray, chunk: int) -> jnp.ndarray:
     """Apply ``fn: (B, chunk, ...) -> (B, chunk, ...out)`` sequentially over
     fixed-size chunks of axis 1.

@@ -23,6 +23,7 @@ from pointrcnn_tpu.ops.common import (
     first_k_in_order,
     gather_points,
     square_distance,
+    square_distance_exact,
 )
 
 
@@ -69,6 +70,10 @@ def ball_query(
             first = idx[..., :1]
             return jnp.where(in_r, idx, jnp.where(in_r[..., :1], first, 0))
 
+    # exact mode is f32-faithful to the CUDA distance arithmetic too, not
+    # just the selection rule — see square_distance_exact
+    d2_fn = square_distance_exact if method == "exact" else square_distance
+
     if on_tpu and N <= 1024:
         # small tables (RCNN roi stages): EXACT first-K-in-order via hit
         # ranks — a compare-and-reduce the compiler fuses.  Both faster than
@@ -77,7 +82,7 @@ def ball_query(
         # selection rule exactly, so 'approx' configs get parity semantics
         # for free here.
         def per_chunk_rank(centroids):
-            d2 = square_distance(centroids, xyz)
+            d2 = d2_fn(centroids, xyz)
             mask = d2 < r2
             hits = first_k_in_order(mask, nsample)
             cnt = jnp.sum(mask, axis=-1)[..., None]
@@ -88,7 +93,7 @@ def ball_query(
         return chunked_map(per_chunk_rank, new_xyz, chunk)
 
     def per_chunk_exact(centroids):  # (B, C, 3) -> (B, C, nsample)
-        d2 = square_distance(centroids, xyz)  # (B, C, N)
+        d2 = square_distance_exact(centroids, xyz)  # (B, C, N)
         order = jnp.where(d2 < r2, jax.lax.broadcasted_iota(jnp.int32, d2.shape, 2), N)
         neg_vals, _ = jax.lax.top_k(-order, nsample)  # k smallest order keys
         vals = -neg_vals  # ascending: first hits in point order, N = no hit
@@ -153,7 +158,8 @@ def ball_query_multi(
             return outs
 
     def per_chunk(centroids):
-        d2 = square_distance(centroids, xyz)
+        d2 = (square_distance_exact if method == "exact" else square_distance)(
+            centroids, xyz)
         outs = []
         if method == "exact":
             # first-nsample-in-point-order per radius (CUDA semantics);

@@ -45,87 +45,14 @@ from pointrcnn_tpu.config import default_config  # noqa: E402
 
 def _install_pointnet2_stub():
     """Register a pure-torch ``pointnet2_lib`` whose parameter tree matches
-    the upstream Pointnet2.PyTorch naming used by reference checkpoints."""
-    if "pointnet2_lib.pointnet2.pytorch_utils" in sys.modules:
-        return
-    import torch.nn as nn
+    the upstream Pointnet2.PyTorch naming used by reference checkpoints.
 
-    class _BNWrap(nn.Sequential):
-        # upstream wraps the torch BN in a named child -> keys "bn.bn.*"
-        def __init__(self, bn_cls, n):
-            super().__init__()
-            self.add_module("bn", bn_cls(n))
+    The implementation lives in tests/ref_pointnet2_torch.py, which also
+    carries faithful *forward* semantics so the same stand-in powers the
+    whole-network forward parity tests."""
+    import ref_pointnet2_torch
 
-    class _ConvBase(nn.Sequential):
-        def __init__(self, conv_cls, bn_cls, in_size, out_size, bn, activation):
-            super().__init__()
-            self.add_module(
-                "conv", conv_cls(in_size, out_size, kernel_size=1, bias=not bn))
-            if bn:
-                self.add_module("bn", _BNWrap(bn_cls, out_size))
-            if activation is not None:
-                self.add_module("activation", activation)
-
-    class Conv1d(_ConvBase):
-        def __init__(self, in_size, out_size, bn=False,
-                     activation=nn.ReLU(inplace=True), **kw):
-            super().__init__(nn.Conv1d, nn.BatchNorm1d,
-                             in_size, out_size, bn, activation)
-
-    class Conv2d(_ConvBase):
-        def __init__(self, in_size, out_size, bn=False,
-                     activation=nn.ReLU(inplace=True), **kw):
-            super().__init__(nn.Conv2d, nn.BatchNorm2d,
-                             in_size, out_size, bn, activation)
-
-    class SharedMLP(nn.Sequential):
-        def __init__(self, args, bn=False,
-                     activation=nn.ReLU(inplace=True), **kw):
-            super().__init__()
-            for i in range(len(args) - 1):
-                self.add_module(
-                    f"layer{i}", Conv2d(args[i], args[i + 1],
-                                        bn=bn, activation=activation))
-
-    class PointnetSAModuleMSG(nn.Module):
-        def __init__(self, *, npoint=None, radii=None, nsamples=None,
-                     mlps=None, bn=True, use_xyz=True):
-            super().__init__()
-            self.groupers = nn.ModuleList()  # parameterless in upstream too
-            self.mlps = nn.ModuleList()
-            for spec in mlps:
-                spec = list(spec)
-                if use_xyz:
-                    spec[0] += 3
-                self.mlps.append(SharedMLP(spec, bn=bn))
-
-    class PointnetSAModule(PointnetSAModuleMSG):
-        def __init__(self, *, mlp, npoint=None, radius=None, nsample=None,
-                     bn=True, use_xyz=True):
-            super().__init__(mlps=[mlp], npoint=npoint, radii=[radius],
-                             nsamples=[nsample], bn=bn, use_xyz=use_xyz)
-
-    class PointnetFPModule(nn.Module):
-        def __init__(self, *, mlp, bn=True):
-            super().__init__()
-            self.mlp = SharedMLP(mlp, bn=bn)
-
-    pkg = types.ModuleType("pointnet2_lib")
-    pkg.__path__ = []
-    sub = types.ModuleType("pointnet2_lib.pointnet2")
-    sub.__path__ = []
-    ptu = types.ModuleType("pointnet2_lib.pointnet2.pytorch_utils")
-    ptu.Conv1d, ptu.Conv2d, ptu.SharedMLP = Conv1d, Conv2d, SharedMLP
-    p2m = types.ModuleType("pointnet2_lib.pointnet2.pointnet2_modules")
-    p2m.PointnetSAModule = PointnetSAModule
-    p2m.PointnetSAModuleMSG = PointnetSAModuleMSG
-    p2m.PointnetFPModule = PointnetFPModule
-    pkg.pointnet2 = sub
-    sub.pytorch_utils, sub.pointnet2_modules = ptu, p2m
-    sys.modules["pointnet2_lib"] = pkg
-    sys.modules["pointnet2_lib.pointnet2"] = sub
-    sys.modules["pointnet2_lib.pointnet2.pytorch_utils"] = ptu
-    sys.modules["pointnet2_lib.pointnet2.pointnet2_modules"] = p2m
+    ref_pointnet2_torch.install()
 
 
 @pytest.fixture(scope="module")
