@@ -200,6 +200,146 @@ def test_rcnn_forward_parity_tiny(refnet):
         rtol=RTOL, atol=ATOL)
 
 
+def _apply_runtime(ref_cfg, ours):
+    """Copy the eval-pipeline runtime knobs (proposal budgets, NMS, pooling)
+    the joint forward reads beyond what _apply_arch covers."""
+    ref_cfg.RPN.SCORE_THRESH = float(ours.RPN.SCORE_THRESH)
+    ref_cfg.RPN.NMS_TYPE = str(ours.RPN.NMS_TYPE)
+    ref_cfg.CLS_MEAN_SIZE = np.asarray(ours.CLS_MEAN_SIZE, np.float32)
+    ref_cfg.RCNN.POOL_EXTRA_WIDTH = float(ours.RCNN.POOL_EXTRA_WIDTH)
+    ref_cfg.RCNN.NUM_POINTS = int(ours.RCNN.NUM_POINTS)
+    ref_cfg.RCNN.ROI_SAMPLE_JIT = True
+    for mode in ("TRAIN", "TEST"):
+        for k in ("RPN_PRE_NMS_TOP_N", "RPN_POST_NMS_TOP_N", "RPN_NMS_THRESH"):
+            # attribute assignment, not item: the _AttrDict easydict shim
+            # reads attributes before dict items
+            setattr(ref_cfg[mode], k, ours[mode][k])
+    ref_cfg.TEST.RPN_DISTANCE_BASED_PROPOSE = bool(
+        ours.TEST.RPN_DISTANCE_BASED_PROPOSE)
+
+
+def test_proposal_layer_parity(refnet):
+    """The reference's REAL ProposalLayer (lib/rpn/proposal_layer.py:15-142:
+    decode, score sort, distance-zone budget split, per-zone rotated NMS via
+    the iou3d wrapper, zero-padding) vs our fixed-shape vmapped proposal
+    layer, on identical well-separated scores and regressions.
+
+    (Scores are inputs, not net outputs, so sort order is deterministic on
+    both sides — whole-net joint comparisons with random weights die on
+    score near-ties ~1e-6 apart, below cross-implementation f32 drift.)
+    Covers both the populated-far-zone and the empty-far-zone fallback
+    (proposal_layer.py:92-100) paths.
+    """
+    import jax.numpy as jnp
+    import ref_cuda_ext_torch
+    from pointrcnn_tpu.models.proposal import proposal_layer
+    from pointrcnn_tpu.utils.box_coder import reg_channel_count
+
+    ref_cuda_ext_torch.install()
+    ours = _exact_cfg(tiny_cfg(joint=True))
+    _apply_arch(refnet.cfg, ours)
+    _apply_runtime(refnet.cfg, ours)
+    from lib.rpn.proposal_layer import ProposalLayer
+
+    ref_pl = ProposalLayer(mode="TEST")
+
+    n_reg = reg_channel_count(
+        ours.RPN.LOC_SCOPE, ours.RPN.LOC_BIN_SIZE, ours.RPN.NUM_HEAD_BIN,
+        get_xz_fine=ours.RPN.LOC_XZ_FINE)
+    rng = np.random.RandomState(31)
+    B, N = 2, ours.RPN.NUM_POINTS
+
+    for tag, zmax in (("both-zones", 70.0), ("empty-far-zone", 38.0)):
+        xyz = _cloud(B, N, seed=37)
+        xyz[..., 2] = rng.uniform(1.0, zmax, (B, N)).astype(np.float32)
+        scores = rng.normal(0, 1, (B, N)).astype(np.float32)
+        reg = (rng.normal(0, 0.3, (B, N, n_reg))).astype(np.float32)
+
+        with torch.no_grad():
+            ref_rois, ref_scores = ref_pl(
+                torch.from_numpy(scores), torch.from_numpy(reg),
+                torch.from_numpy(xyz))
+
+        rois, roi_scores, _valid = proposal_layer(
+            ours, "TEST", jnp.asarray(scores), jnp.asarray(reg),
+            jnp.asarray(xyz))
+
+        np.testing.assert_allclose(
+            np.asarray(roi_scores), ref_scores.numpy(), rtol=0, atol=1e-6,
+            err_msg=tag)
+        np.testing.assert_allclose(
+            np.asarray(rois), ref_rois.numpy(), rtol=1e-4, atol=1e-3,
+            err_msg=tag)
+
+
+def test_rcnn_eval_branch_parity(refnet):
+    """The reference's REAL RCNN eval-JIT branch (rcnn_net.py:127-154:
+    roipool3d + canonical transform + RCNNNet on pooled tensors) vs our
+    roipool3d + canonical_transform + RCNNNet (the point_rcnn.py eval
+    hand-off), on identical rois, points, features, and converted weights."""
+    import jax
+    import jax.numpy as jnp
+    import ref_cuda_ext_torch
+    from pointrcnn_tpu.models.point_rcnn import canonical_transform
+    from pointrcnn_tpu.models.rcnn import RCNNNet
+    from pointrcnn_tpu.ops.roipool3d import roipool3d
+
+    ref_cuda_ext_torch.install()
+    ours = _exact_cfg(tiny_cfg(joint=True), extra=(
+        "RCNN.XYZ_UP_LAYER", "[16, 128]",
+        "RPN.FP_MLPS", "[[16, 128], [16, 16]]",
+    ))
+    net, params, stats = _build_ref(refnet, ours, seed=41)
+    _apply_runtime(refnet.cfg, ours)
+
+    rng = np.random.RandomState(43)
+    B, N, M = 2, ours.RPN.NUM_POINTS, 12
+    xyz = _cloud(B, N, seed=47)
+    feats = rng.normal(0, 1, (B, N, 128)).astype(np.float32)
+    seg_mask = (rng.rand(B, N) > 0.5).astype(np.float32)
+    pts_depth = np.linalg.norm(xyz, axis=2)
+    rois = np.zeros((B, M, 7), np.float32)
+    rois[..., 0] = rng.uniform(-20, 20, (B, M))
+    rois[..., 1] = rng.uniform(0, 2, (B, M))
+    rois[..., 2] = rng.uniform(5, 60, (B, M))
+    rois[..., 3:6] = np.array([1.5, 1.6, 3.9]) * rng.uniform(0.8, 1.2, (B, M, 3))
+    rois[..., 6] = rng.uniform(-np.pi, np.pi, (B, M))
+
+    with torch.no_grad():
+        ref = net.rcnn_net({
+            "rpn_xyz": torch.from_numpy(xyz),
+            "rpn_features": torch.from_numpy(feats),
+            "seg_mask": torch.from_numpy(seg_mask),
+            "roi_boxes3d": torch.from_numpy(rois),
+            "pts_depth": torch.from_numpy(pts_depth),
+        })
+
+    # our eval hand-off (point_rcnn.py:105-123)
+    pts_feature = jnp.concatenate([
+        jnp.asarray(seg_mask)[..., None],
+        (jnp.asarray(pts_depth) / 70.0 - 0.5)[..., None],
+        jnp.asarray(feats),
+    ], axis=-1)
+    pooled, empty = roipool3d(
+        jnp.asarray(xyz), pts_feature, jnp.asarray(rois),
+        ours.RCNN.POOL_EXTRA_WIDTH, ours.RCNN.NUM_POINTS, method="exact")
+    pooled = pooled.at[..., 0:3].set(
+        canonical_transform(pooled[..., 0:3], jnp.asarray(rois)))
+    pts_input = pooled.reshape(B * M, ours.RCNN.NUM_POINTS, -1)
+
+    variables = {"params": params["rcnn_net"]}
+    if "rcnn_net" in stats:
+        variables["batch_stats"] = stats["rcnn_net"]
+    out = RCNNNet(cfg=ours).apply(variables, pts_input, train=False)
+
+    np.testing.assert_allclose(
+        np.asarray(out["rcnn_cls"]), ref["rcnn_cls"].numpy(),
+        rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(
+        np.asarray(out["rcnn_reg"]), ref["rcnn_reg"].numpy(),
+        rtol=RTOL, atol=ATOL)
+
+
 def test_rpn_forward_parity_flagship(refnet):
     """The FLAGSHIP workload: the full default car config (16384 points,
     4 MSG SA + 4 FP stages, the exact benchmark network) — reference torch
