@@ -186,3 +186,134 @@ def test_native_protocol_equivalence(monkeypatch):
         np.testing.assert_array_equal(a["precision"], b["precision"])
         np.testing.assert_array_equal(a["recall"], b["recall"])
         np.testing.assert_array_equal(a["orientation"], b["orientation"])
+
+
+# ----------------------------------------------- reference-code AP parity
+
+
+def _rotate_iou_gpu_eval(boxes, qboxes, criterion=-1):
+    """Stand-in for the reference's numba.cuda rotate_iou_gpu_eval
+    (rotate_iou.py:294): same (N, 5) [x, z, x_dim, y_dim, ry] rbbox layout
+    and criterion semantics (devRotateIoUEval rotate_iou.py:248: -1 IoU,
+    0/1 one-sided, else raw intersection area), rotated overlap from this
+    repo's shapely-pinned host twin."""
+    from pointrcnn_tpu.utils import native
+
+    a = np.asarray(boxes, np.float32)
+    b = np.asarray(qboxes, np.float32)
+
+    def rects(x):
+        return np.stack(
+            [x[:, 0] - x[:, 2] / 2, x[:, 1] - x[:, 3] / 2,
+             x[:, 0] + x[:, 2] / 2, x[:, 1] + x[:, 3] / 2, x[:, 4]], 1)
+
+    inter = native.bev_overlap(rects(a), rects(b)).astype(np.float32)
+    area_a = (a[:, 2] * a[:, 3])[:, None]
+    area_b = (b[:, 2] * b[:, 3])[None, :]
+    if criterion == -1:
+        return inter / np.maximum(area_a + area_b - inter, 1e-12)
+    if criterion == 0:
+        return inter / np.maximum(area_a, 1e-12)
+    if criterion == 1:
+        return inter / np.maximum(area_b, 1e-12)
+    return inter
+
+
+def _load_reference_eval():
+    """Import the reference's tools/kitti_object_eval_python/eval.py in pure
+    python: numba stubbed to identity decorators (the kernels are plain
+    nested-loop python), the numba.cuda rotated IoU replaced by the host
+    twin above."""
+    import importlib.util
+    import sys
+    import types
+
+    if "ref_kitti_eval" in sys.modules:
+        return sys.modules["ref_kitti_eval"]
+
+    if "numba" not in sys.modules:
+        nb = types.ModuleType("numba")
+
+        def jit(*args, **kwargs):
+            if len(args) == 1 and callable(args[0]) and not kwargs:
+                return args[0]
+            return lambda f: f
+
+        nb.jit = jit
+        nb.prange = range
+        sys.modules["numba"] = nb
+
+    pkg = sys.modules.setdefault("tools", types.ModuleType("tools"))
+    if not hasattr(pkg, "__path__"):
+        pkg.__path__ = []
+    sub = sys.modules.setdefault(
+        "tools.kitti_object_eval_python",
+        types.ModuleType("tools.kitti_object_eval_python"))
+    if not hasattr(sub, "__path__"):
+        sub.__path__ = []
+    riou = types.ModuleType("tools.kitti_object_eval_python.rotate_iou")
+    riou.rotate_iou_gpu_eval = _rotate_iou_gpu_eval
+    sys.modules["tools.kitti_object_eval_python.rotate_iou"] = riou
+    pkg.kitti_object_eval_python = sub
+    sub.rotate_iou = riou
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_kitti_eval",
+        "/root/reference/tools/kitti_object_eval_python/eval.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_kitti_eval"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_official_ap_matches_reference_eval_code():
+    """get_official_eval_result parity against the reference's OWN eval.py
+    (eval.py:608-678 + the full numba statistics stack underneath it,
+    running as plain python): identical mAP numbers for bbox/bev/3d/aos on
+    randomized annotations.  This converts the 'transcribed AP protocol'
+    into a measured equivalence."""
+    import copy
+
+    ref = _load_reference_eval()
+    rng = np.random.RandomState(123)
+    # >=50 frames: the reference partitions into 50 parts and
+    # crashes on empty parts (eval.py get_split_parts)
+    gt_annos, dt_annos = _random_annos(rng, n_frames=60)
+
+    ref_str, ref_ret = ref.get_official_eval_result(
+        copy.deepcopy(gt_annos), copy.deepcopy(dt_annos), ["Car"])
+    our_str, our_ret = kitti_eval.get_official_eval_result(
+        copy.deepcopy(gt_annos), copy.deepcopy(dt_annos), ["Car"])
+
+    # ours additionally reports aos keys; the reference ret_dict stops at
+    # image/bev/3d (eval.py:661-672) — compare its keys, then aos via do_eval
+    assert set(ref_ret) <= set(our_ret), (sorted(our_ret), sorted(ref_ret))
+    for k in sorted(ref_ret):
+        np.testing.assert_allclose(our_ret[k], ref_ret[k], rtol=0,
+                                   atol=1e-6, err_msg=k)
+
+    min_overlaps = np.stack([
+        np.array([[0.7, 0.5, 0.5, 0.7, 0.5]] * 3),
+        np.array([[0.7, 0.5, 0.5, 0.7, 0.5],
+                  [0.5, 0.25, 0.25, 0.5, 0.25],
+                  [0.5, 0.25, 0.25, 0.5, 0.25]]),
+    ], 0)[:, :, [0]]
+    *_, ref_aos = ref.do_eval(
+        copy.deepcopy(gt_annos), copy.deepcopy(dt_annos), [0], min_overlaps,
+        True)
+    for d, name in enumerate(("easy", "moderate", "hard")):
+        np.testing.assert_allclose(
+            our_ret[f"Car_aos_{name}"], ref_aos[0, d, 0], rtol=0, atol=1e-6,
+            err_msg=f"aos {name}")
+
+    # multi-class protocol too (Pedestrian/Cyclist rows of min_overlaps)
+    ref_str2, ref_ret2 = ref.get_official_eval_result(
+        copy.deepcopy(gt_annos), copy.deepcopy(dt_annos), ["Pedestrian"])
+    our_str2, our_ret2 = kitti_eval.get_official_eval_result(
+        copy.deepcopy(gt_annos), copy.deepcopy(dt_annos), ["Pedestrian"])
+    for k in sorted(ref_ret2):
+        # the reference hardcodes 'Car_*' ret_dict keys for every class
+        # (eval.py:668-676); ours names them by the evaluated class
+        np.testing.assert_allclose(
+            our_ret2[k.replace("Car_", "Pedestrian_")], ref_ret2[k],
+            rtol=0, atol=1e-6, err_msg=k)
