@@ -374,3 +374,123 @@ def test_rpn_forward_parity_flagship(refnet):
         np.asarray(out["backbone_features"]),
         ref["backbone_features"].numpy().transpose(0, 2, 1),
         rtol=1e-3, atol=1e-3)
+
+
+def test_loss_assembly_parity(refnet):
+    """The reference's REAL loss assembly (train_functions.py:9-215 —
+    get_rpn_loss / get_rcnn_loss closures inside model_joint_fn_decorator,
+    with their masking, normalizers, the 3x size-loss back-compat scale and
+    LOSS_WEIGHT mixing) vs our train/loss.py, on identical controlled
+    network outputs and labels.  The per-component losses are pinned
+    element-wise in test_reference_parity.py; this pins the assembly."""
+    import jax.numpy as jnp
+    import ref_cuda_ext_torch
+    from pointrcnn_tpu.train.loss import get_rcnn_loss, get_rpn_loss
+    from pointrcnn_tpu.utils.box_coder import reg_channel_count
+
+    ref_cuda_ext_torch.install()  # torch.cuda.*Tensor shims for loss_utils
+    ours = _exact_cfg(tiny_cfg(joint=True))
+    net, _params, _stats = _build_ref(refnet, ours, seed=51)
+    _apply_runtime(refnet.cfg, ours)
+    rcfg = refnet.cfg
+
+    sys.path.insert(0, os.path.join(REF_ROOT_TOOLS := "/root/reference", "tools"))
+    from lib.net.train_functions import model_joint_fn_decorator
+
+    rng = np.random.RandomState(53)
+    B, N = 2, 64
+
+    # ---------------- RPN-stage loss (rpn train mode) ----------------
+    rcfg.RPN.ENABLED, rcfg.RPN.FIXED, rcfg.RCNN.ENABLED = True, False, False
+    n_rpn_reg = reg_channel_count(
+        ours.RPN.LOC_SCOPE, ours.RPN.LOC_BIN_SIZE, ours.RPN.NUM_HEAD_BIN,
+        get_xz_fine=ours.RPN.LOC_XZ_FINE)
+    rpn_cls = rng.normal(0, 2, (B, N, 1)).astype(np.float32)
+    rpn_reg = rng.normal(0, 0.5, (B, N, n_rpn_reg)).astype(np.float32)
+    cls_label = rng.choice([-1, 0, 1], (B, N), p=[0.2, 0.6, 0.2])
+    reg_label = np.concatenate([
+        rng.uniform(-2.5, 2.5, (B, N, 3)),
+        np.array([1.5, 1.6, 3.9]) * rng.uniform(0.8, 1.2, (B, N, 3)),
+        rng.uniform(-np.pi, np.pi, (B, N, 1)),
+    ], -1).astype(np.float32)
+
+    model_fn = model_joint_fn_decorator()
+    ret = {"rpn_cls": torch.from_numpy(rpn_cls),
+           "rpn_reg": torch.from_numpy(rpn_reg)}
+    net.forward = lambda input_data: ret
+    data = {
+        "pts_rect": np.zeros((B, N, 3), np.float32),
+        "pts_features": np.zeros((B, N, 1), np.float32),
+        "pts_input": np.zeros((B, N, 3), np.float32),
+        "gt_boxes3d": np.zeros((B, 1, 7), np.float32),
+        "rpn_cls_label": cls_label.astype(np.int64),
+        "rpn_reg_label": reg_label,
+    }
+    ref_loss, ref_tb, _ = model_fn(net, data)
+
+    our_loss, our_tb = get_rpn_loss(
+        ours, jnp.asarray(rpn_cls), jnp.asarray(rpn_reg),
+        jnp.asarray(cls_label), jnp.asarray(reg_label))
+
+    np.testing.assert_allclose(float(our_loss), float(ref_loss),
+                               rtol=1e-5, atol=1e-6)
+    for k in ("rpn_loss_cls", "rpn_loss_reg", "rpn_loss_loc",
+              "rpn_loss_angle", "rpn_loss_size", "rpn_loss_cls_pos",
+              "rpn_loss_cls_neg"):
+        np.testing.assert_allclose(float(our_tb[k]), float(ref_tb[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+
+    # --------------- RCNN-stage loss (joint, FIXED rpn) ---------------
+    rcfg.RPN.FIXED, rcfg.RCNN.ENABLED = True, True
+    R = 16
+    n_rcnn_reg = reg_channel_count(
+        ours.RCNN.LOC_SCOPE, ours.RCNN.LOC_BIN_SIZE, ours.RCNN.NUM_HEAD_BIN,
+        get_xz_fine=True, get_y_by_bin=ours.RCNN.LOC_Y_BY_BIN,
+        loc_y_scope=ours.RCNN.LOC_Y_SCOPE,
+        loc_y_bin_size=ours.RCNN.LOC_Y_BIN_SIZE)
+    rcnn_cls = rng.normal(0, 2, (R, 1)).astype(np.float32)
+    rcnn_reg = rng.normal(0, 0.5, (R, n_rcnn_reg)).astype(np.float32)
+    # BinaryCrossEntropy (the shipped RCNN.LOSS_CLS): labels in {0, 1} —
+    # torch>=1.11 F.binary_cross_entropy rejects the -1 ignore labels the
+    # 2019-era reference passed through before masking
+    rcnn_cls_label = rng.choice([0.0, 1.0], R, p=[0.5, 0.5]).astype(np.float32)
+    reg_valid = (rng.rand(R) > 0.4).astype(np.float32)
+    rois = np.concatenate([
+        rng.uniform(-20, 20, (R, 1)), rng.uniform(0, 2, (R, 1)),
+        rng.uniform(5, 60, (R, 1)),
+        np.array([1.5, 1.6, 3.9]) * rng.uniform(0.8, 1.2, (R, 3)),
+        rng.uniform(-np.pi, np.pi, (R, 1)),
+    ], 1).astype(np.float32)
+    gt_ct = np.concatenate([
+        rng.uniform(-1.0, 1.0, (R, 3)),
+        np.array([1.5, 1.6, 3.9]) * rng.uniform(0.9, 1.1, (R, 3)),
+        rng.uniform(-0.6, 0.6, (R, 1)),
+    ], 1).astype(np.float32)
+
+    ret2 = {
+        "rcnn_cls": torch.from_numpy(rcnn_cls),
+        "rcnn_reg": torch.from_numpy(rcnn_reg),
+        "cls_label": torch.from_numpy(rcnn_cls_label),
+        "reg_valid_mask": torch.from_numpy(reg_valid),
+        "roi_boxes3d": torch.from_numpy(rois),
+        "gt_of_rois": torch.from_numpy(gt_ct),
+        "pts_input": torch.zeros(R, ours.RCNN.NUM_POINTS, 5),
+    }
+    net.forward = lambda input_data: ret2
+    ref_loss2, ref_tb2, _ = model_fn(net, data)
+
+    target = {
+        "cls_label": jnp.asarray(rcnn_cls_label),
+        "reg_valid_mask": jnp.asarray(reg_valid),
+        "roi_boxes3d": jnp.asarray(rois),
+        "gt_of_rois": jnp.asarray(gt_ct),
+    }
+    our_loss2, our_tb2 = get_rcnn_loss(
+        ours, jnp.asarray(rcnn_cls), jnp.asarray(rcnn_reg), target)
+
+    np.testing.assert_allclose(float(our_loss2), float(ref_loss2),
+                               rtol=1e-5, atol=1e-6)
+    for k in ("rcnn_loss_cls", "rcnn_loss_reg", "rcnn_loss_loc",
+              "rcnn_loss_angle", "rcnn_loss_size"):
+        np.testing.assert_allclose(float(our_tb2[k]), float(ref_tb2[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
