@@ -38,6 +38,7 @@ Reference semantics: QueryAndGroup + SharedMLP + max_pool2d
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -50,7 +51,8 @@ _INTERPRET = False
 
 # max centroids per grid step (tuned on v5e; VMEM at chunk 128, K=64, N=512:
 # one-hot bf16 8 MB + gathered f32 8 MB fits with double-buffered blocks off)
-_CHUNK_S_MAX = 64
+# env overrides are the autotune hook (tools/tune_fused_mlp.py)
+_CHUNK_S_MAX = int(os.environ.get("POINTRCNN_MLP_CHUNK_S", 64))
 # cap on one-hot rows per step (VMEM guard)
 _MAX_ROWS = 8192
 # largest point table the kernel pins in VMEM / widest affordable one-hot
@@ -340,7 +342,7 @@ def _fused_group_mlp_max_impl(use_xyz, xyz, features, new_xyz, idx, weights,
 
 # smaller row budget than the forward: the backward keeps ~3x the live
 # buffers (activations + their cotangents + the dgather block)
-_MAX_ROWS_BWD = 2048
+_MAX_ROWS_BWD = int(os.environ.get("POINTRCNN_MLP_ROWS_BWD", 2048))
 
 
 def _pick_chunk_bwd(S: int, K: int) -> int:
