@@ -35,6 +35,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# interpret mode for CPU-side CI (tests monkeypatch this)
+_INTERPRET = False
+
 _W = 512  # stride classes = selection candidates per centroid
 _BIG = 3.0e38  # python float: jnp scalars would be captured consts in the kernel
 
@@ -129,6 +132,7 @@ def _ball_query_pallas(cent: jnp.ndarray, known_t: jnp.ndarray, kmax: int,
         out_specs=pl.BlockSpec((1, chunk, width), lambda b, s: (b, s, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, S, width), jnp.float32),
+        interpret=_INTERPRET,
     )(cent, known_t)
     dist2 = packed[..., :kmax]
     idx = packed[..., kmax : 2 * kmax].astype(jnp.int32)

@@ -21,6 +21,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# interpret mode for CPU-side CI (tests monkeypatch this)
+_INTERPRET = False
+
 # VMEM budget gate: 4 live (B, N) f32 planes (xs/ys/zs/dists) + slack
 MAX_CELLS = 1 << 20
 # per-grid-step (rows, N) working set for the plain kernel (~6 live f32
@@ -152,6 +155,7 @@ def furthest_point_sample_pallas(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
                 pltpu.VMEM((R, Ns), jnp.float32),
                 pltpu.VMEM((R, 128), jnp.int32),
             ],
+            interpret=_INTERPRET,
         )(xyz_t)
         # every stripe row of a batch carries the same answer; take the first
         return out.T.reshape(B, s, npoint)[:, 0, :]
@@ -181,6 +185,7 @@ def furthest_point_sample_pallas(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
                 pltpu.VMEM((rows, N), jnp.float32),
                 pltpu.VMEM((rows, 128), jnp.int32),
             ],
+            interpret=_INTERPRET,
         )(xyz_t)
 
     if rows == B:

@@ -16,6 +16,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# interpret mode for CPU-side CI (tests monkeypatch this)
+_INTERPRET = False
+
 _CHUNK = 256  # unknown points per grid step
 
 
@@ -68,6 +71,7 @@ def _three_nn_pallas(unknown: jnp.ndarray, known_t: jnp.ndarray):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, n, 8), jnp.float32),
         scratch_shapes=[pltpu.VMEM((_CHUNK, m), jnp.float32)],
+        interpret=_INTERPRET,
     )(unknown, known_t)
     return packed[..., :3], packed[..., 3:6].astype(jnp.int32)
 

@@ -1,0 +1,109 @@
+"""Interpret-mode CI for the chip-only Pallas kernels.
+
+pallas_fps / pallas_ballquery / pallas_knn normally run only on TPU (their
+support gates check the backend), so CPU CI never executed them — a kernel
+regression would surface first on the chip. These tests monkeypatch the
+modules' ``_INTERPRET`` flags and run the kernels through the Pallas
+interpreter against the same oracles that pin the XLA paths:
+
+- FPS (both the striped small-batch and the plain batched variant) must
+  equal the sequential CUDA-semantics oracle exactly.
+- three_nn must equal brute force exactly (it is an exact kernel).
+- the approximate stride-class ball query must satisfy its documented
+  contract: ascending candidate distances, the true nearest point first,
+  self-consistent (idx, dist2) pairs, and exact relative-coordinate
+  emission.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from test_ops import np_fps
+
+from pointrcnn_tpu.ops import pallas_ballquery, pallas_fps, pallas_knn
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    monkeypatch.setattr(pallas_fps, "_INTERPRET", True)
+    monkeypatch.setattr(pallas_ballquery, "_INTERPRET", True)
+    monkeypatch.setattr(pallas_knn, "_INTERPRET", True)
+
+
+def test_fps_striped_kernel_matches_oracle():
+    rng = np.random.RandomState(0)
+    xyz = rng.uniform(-10, 10, (2, 256, 3)).astype(np.float32)
+    # B=2 < 8 engages the stripe-butterfly variant (s=2 at N=256)
+    got = np.asarray(pallas_fps.furthest_point_sample_pallas(jnp.asarray(xyz), 16))
+    for b in range(2):
+        np.testing.assert_array_equal(got[b], np_fps(xyz[b], 16))
+
+
+def test_fps_plain_kernel_matches_oracle():
+    rng = np.random.RandomState(1)
+    xyz = rng.uniform(-10, 10, (8, 128, 3)).astype(np.float32)
+    got = np.asarray(pallas_fps.furthest_point_sample_pallas(jnp.asarray(xyz), 16))
+    for b in range(8):
+        np.testing.assert_array_equal(got[b], np_fps(xyz[b], 16))
+
+
+def test_three_nn_kernel_matches_brute_force():
+    rng = np.random.RandomState(2)
+    unknown = rng.uniform(-10, 10, (2, 256, 3)).astype(np.float32)
+    known = rng.uniform(-10, 10, (2, 64, 3)).astype(np.float32)
+    dist, idx = pallas_knn.three_nn_pallas(jnp.asarray(unknown), jnp.asarray(known))
+    d2 = ((unknown[:, :, None] - known[:, None]) ** 2).sum(-1)
+    order = np.argsort(d2, axis=-1)[..., :3]
+    np.testing.assert_array_equal(np.asarray(idx), order)
+    np.testing.assert_allclose(
+        np.asarray(dist), np.sqrt(np.take_along_axis(d2, order, -1)),
+        rtol=1e-5, atol=1e-5)
+
+
+def test_ball_query_kernel_contract():
+    rng = np.random.RandomState(3)
+    N, S, K = 2048, 16, 16
+    xyz = rng.uniform(-10, 10, (2, N, 3)).astype(np.float32)
+    cent = xyz[:, :S] + rng.uniform(-0.1, 0.1, (2, S, 3)).astype(np.float32)
+
+    dist2, idx = pallas_ballquery.ball_query_pallas(
+        jnp.asarray(xyz), jnp.asarray(cent), K)
+    dist2, idx = np.asarray(dist2), np.asarray(idx)
+
+    assert idx.min() >= 0 and idx.max() < N
+    # ascending candidate distances
+    assert (np.diff(dist2, axis=-1) >= -1e-5).all()
+    # (idx, dist2) self-consistency: reported distance is the true distance
+    # of the reported point
+    true_d2 = ((np.take_along_axis(
+        xyz[:, None].repeat(S, 1), idx[..., None].repeat(3, -1), 2)
+        - cent[:, :, None]) ** 2).sum(-1)
+    np.testing.assert_allclose(dist2, true_d2, rtol=1e-4, atol=1e-4)
+    # the global nearest point is always candidate 0 (it is the minimum of
+    # its stride class, and candidates are emitted in ascending order)
+    d2_full = ((cent[:, :, None] - xyz[:, None]) ** 2).sum(-1)
+    np.testing.assert_allclose(dist2[..., 0], d2_full.min(-1),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_ball_query_grouped_emission():
+    rng = np.random.RandomState(4)
+    N, S = 2048, 16
+    xyz = rng.uniform(-10, 10, (2, N, 3)).astype(np.float32)
+    cent = xyz[:, :S]
+
+    specs = ((1.5, 8), (3.0, 16))
+    rels = pallas_ballquery.ball_query_multi_grouped_pallas(
+        jnp.asarray(xyz), jnp.asarray(cent), specs)
+    assert len(rels) == 2
+    for (radius, k), rel in zip(specs, rels):
+        rel = np.asarray(rel)
+        assert rel.shape == (2, S, k, 3)
+        # emitted relative coordinates stay within the ball (padding repeats
+        # in-radius hits; all-empty neighborhoods emit index-0's rel coords,
+        # which cannot happen here since each centroid IS a point -> d2=0)
+        np.testing.assert_array_less(
+            (rel ** 2).sum(-1), radius ** 2 + 1e-4)
