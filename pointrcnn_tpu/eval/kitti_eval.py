@@ -60,7 +60,9 @@ def get_label_anno(label_path: str) -> dict:
         annotations["dimensions"].append([float(x[10]), float(x[8]), float(x[9])])
         annotations["location"].append([float(v) for v in x[11:14]])
         annotations["rotation_y"].append(float(x[14]))
-        annotations["score"].append(float(x[15]) if len(x) == 16 else -10.0)
+        # score-less (gt) files: 0.0, matching the reference parser
+        # (kitti_common.py:327-329); the value is never read for gt annos
+        annotations["score"].append(float(x[15]) if len(x) == 16 else 0.0)
     n = len(lines)
     return {
         "name": np.array(annotations["name"]),

@@ -317,3 +317,52 @@ def test_official_ap_matches_reference_eval_code():
         np.testing.assert_allclose(
             our_ret2[k.replace("Car_", "Pedestrian_")], ref_ret2[k],
             rtol=0, atol=1e-6, err_msg=k)
+
+
+def test_label_parser_matches_reference_kitti_common(tmp_path):
+    """get_label_anno(s) parity with the reference's kitti_common.py
+    (result-txt parsing feeds the AP evaluator; reference
+    kitti_common.py:293-346), incl. the hwl->lhw dimension reorder, the
+    16-column score detection, and empty files."""
+    import importlib.util
+    import sys
+    import types
+
+    if "skimage" not in sys.modules:  # kitti_common imports skimage.io
+        sk = types.ModuleType("skimage")
+        sk.io = types.ModuleType("skimage.io")
+        sys.modules["skimage"] = sk
+        sys.modules["skimage.io"] = sk.io
+    spec = importlib.util.spec_from_file_location(
+        "ref_kitti_common",
+        "/root/reference/tools/kitti_object_eval_python/kitti_common.py")
+    kc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(kc)
+
+    rng = np.random.RandomState(9)
+    names = ["Car", "Pedestrian", "DontCare"]
+    for idx, with_score in ((0, True), (1, False), (2, True)):
+        lines = []
+        n = (0, 3, 5)[idx]
+        for i in range(n):
+            vals = [names[rng.randint(3)], f"{rng.rand():.2f}",
+                    str(rng.randint(0, 4)), f"{rng.uniform(-3, 3):.2f}"]
+            vals += [f"{v:.2f}" for v in rng.uniform(0, 1200, 4)]   # bbox
+            vals += [f"{v:.2f}" for v in rng.uniform(1, 4, 3)]      # h w l
+            vals += [f"{v:.2f}" for v in rng.uniform(-30, 60, 3)]   # xyz
+            vals += [f"{rng.uniform(-3, 3):.2f}"]                   # ry
+            if with_score:
+                vals += [f"{rng.rand():.4f}"]
+            lines.append(" ".join(vals))
+        (tmp_path / f"{idx:06d}.txt").write_text("\n".join(lines) + ("\n" if lines else ""))
+
+    ref_annos = kc.get_label_annos(str(tmp_path), image_ids=[0, 1, 2])
+    our_annos = kitti_eval.get_label_annos(str(tmp_path), image_ids=[0, 1, 2])
+
+    assert len(ref_annos) == len(our_annos) == 3
+    for r, o in zip(ref_annos, our_annos):
+        for k in ("name", "truncated", "occluded", "alpha", "bbox",
+                  "dimensions", "location", "rotation_y", "score"):
+            assert k in o, k
+            np.testing.assert_array_equal(np.asarray(o[k]), np.asarray(r[k]),
+                                          err_msg=k)
