@@ -394,7 +394,9 @@ def test_loss_assembly_parity(refnet):
     _apply_runtime(refnet.cfg, ours)
     rcfg = refnet.cfg
 
-    sys.path.insert(0, os.path.join(REF_ROOT_TOOLS := "/root/reference", "tools"))
+    # lib.net.train_functions resolves via the refnet fixture's sys.path
+    # entries; do NOT add /root/reference/tools here — it would shadow this
+    # repo's tools/ modules for every later test in the process
     from lib.net.train_functions import model_joint_fn_decorator
 
     rng = np.random.RandomState(53)
