@@ -130,7 +130,8 @@ def main():
     def stage_collate(i):
         return ds.collate_batch(samples)
 
-    t_col = timeit("collate (batch 16)", stage_collate, 8)
+    t_col = timeit("collate (per batch-16 call)", stage_collate, 8)
+    print(f"  {'collate per sample':42s} {t_col / 16:8.3f} ms/sample")
 
     print(f"\n  sum of stages (io+aug+sample+scene): "
           f"{t_io + t_aug + t_strat + t_scene:8.3f} ms/sample vs full {t_full:.3f}")
