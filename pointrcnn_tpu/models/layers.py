@@ -185,11 +185,19 @@ class SharedMLP(nn.Module):
             # rounds activations to bf16 between layers, a precision cut the
             # generic path below doesn't make.
             from pointrcnn_tpu.ops.pallas_mlp import (
+                fused_group_bwd_supported,
                 fused_group_mlp_max,
                 fused_group_mlp_max_supported,
             )
 
-            if fused_group_mlp_max_supported(g_feats, g_idx, jnp.dtype(dt)):
+            # BOTH kernels must be supported: with only the forward, the VJP
+            # would fall back to the bf16 XLA recompute, whose rounding order
+            # differs from the Pallas forward — gradients of a slightly
+            # different function (the mismatch class that regressed the
+            # People joint convergence, see ROUND_NOTES)
+            if fused_group_mlp_max_supported(
+                g_feats, g_idx, jnp.dtype(dt)
+            ) and fused_group_bwd_supported(g_feats, g_idx):
                 ws = [w for w, *_ in layers]
                 bs = [b for _, b, *_ in layers]
                 return fused_group_mlp_max(

@@ -218,12 +218,19 @@ def _fused_group_mlp_max_diff(use_xyz, xyz, features, new_xyz, idx, weights,
     )
 
 
+def _trim_padded_lanes(out_full, weights):
+    """Single-layer stacks max over the padded layer-1 lanes; trim them.
+    Shared by the primal and the custom-vjp fwd rule so the two cannot
+    drift from _prepare_operands' padding convention."""
+    return out_full[..., : weights[0].shape[1]] if len(weights) == 1 else out_full
+
+
 def _fused_group_mlp_max_fwd(use_xyz, xyz, features, new_xyz, idx, weights,
                              biases):
     out_full = _fused_group_mlp_max_full(
         use_xyz, xyz, features, new_xyz, idx, weights, biases
     )
-    out = out_full[..., : weights[0].shape[1]] if len(weights) == 1 else out_full
+    out = _trim_padded_lanes(out_full, weights)
     return out, (xyz, features, new_xyz, idx, weights, biases, out_full)
 
 
@@ -323,8 +330,7 @@ def _fused_group_mlp_max_impl(use_xyz, xyz, features, new_xyz, idx, weights,
     out = _fused_group_mlp_max_full(
         use_xyz, xyz, features, new_xyz, idx, weights, biases
     )
-    # single-layer stacks max over the padded layer-1 lanes; trim them
-    return out[..., : weights[0].shape[1]] if len(weights) == 1 else out
+    return _trim_padded_lanes(out, weights)
 
 
 # ---------------------------------------------------------------------------
@@ -440,6 +446,12 @@ def _make_bwd_kernel(n_layers: int, K: int, f0p: int, use_xyz: bool):
         cout = a_last.shape[-1]
 
         # ---- K-max backward: even split among ties (jnp.max convention) ----
+        # INVARIANT: the recompute above must be bit-identical to the
+        # forward kernel (same contraction dims/rounding points), else
+        # eqm can be all-zero for a (centroid, channel) and its cotangent
+        # is silently dropped (cnt clamps to 1).  tools/tpu_smoke.py checks
+        # the end-to-end gradients on-chip; re-run it after any change to
+        # either kernel's matmul chain.
         a3 = a_last.reshape(s_chunk, K, cout)
         mx = out_ref[0]
         eqm = (a3 == mx[:, None, :]).astype(jnp.float32)

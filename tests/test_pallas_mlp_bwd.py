@@ -70,7 +70,7 @@ def _case(use_xyz, layers, B=2, N=256, C=64, S=64, K=16, seed=0):
 
 
 @pytest.mark.parametrize("use_xyz", [True, False])
-@pytest.mark.parametrize("layers", [[64, 128], [64]])
+@pytest.mark.parametrize("layers", [[64, 128], [64], [32, 48, 64]])
 def test_pallas_bwd_matches_kernel_formulation(use_xyz, layers):
     xyz, feats, new_xyz, idx, ws, bs, ct = _case(use_xyz, layers)
     assert pm.fused_group_bwd_supported(feats, idx)

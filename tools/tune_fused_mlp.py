@@ -69,7 +69,8 @@ def main():
             if S % chunk and chunk > S:
                 continue
             pm._CHUNK_S_MAX = chunk
-            if not pm.fused_group_mlp_max_supported(feats, idx, jnp.dtype(jnp.float32)):
+            # bf16 is the kernel's (only) compute dtype — f32 would gate it off
+            if not pm.fused_group_mlp_max_supported(feats, idx, jnp.bfloat16):
                 print(f"  fwd chunk {chunk:4d}: unsupported")
                 continue
             fwd = jax.jit(lambda *a: pm.fused_group_mlp_max(*a, ws, bs, True))
