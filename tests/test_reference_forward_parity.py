@@ -496,3 +496,50 @@ def test_loss_assembly_parity(refnet):
               "rcnn_loss_angle", "rcnn_loss_size"):
         np.testing.assert_allclose(float(our_tb2[k]), float(ref_tb2[k]),
                                    rtol=1e-5, atol=1e-6, err_msg=k)
+
+
+def test_rcnn_forward_parity_multiclass(refnet):
+    """Multi-class head wiring (People: cls_channel = num_classes = 3,
+    CrossEntropy head, reference rcnn_net.py:45-56) — reference RCNNNet
+    forward vs ours on converted 3-class weights."""
+    import jax.numpy as jnp
+    from pointrcnn_tpu.models.rcnn import RCNNNet, rcnn_input_channels
+
+    ours = _exact_cfg(tiny_cfg(joint=True), extra=(
+        "RCNN.XYZ_UP_LAYER", "[16, 128]",
+        "RPN.FP_MLPS", "[[16, 128], [16, 16]]",
+        "CLASSES", "People",
+        "RCNN.LOSS_CLS", "CrossEntropy",
+        "RCNN.CLS_WEIGHT", "[1.0, 1.0, 1.0]",
+    ))
+    net, params, stats = _build_ref(refnet, ours, num_classes=3, seed=61)
+    refnet.cfg.RCNN.ROI_SAMPLE_JIT = False
+
+    R, npts = 5, ours.RCNN.NUM_POINTS
+    rng = np.random.RandomState(67)
+    in_ch = rcnn_input_channels(ours)
+    pts = np.concatenate([
+        rng.uniform(-2, 2, (R, npts, 3)).astype(np.float32),
+        rng.uniform(0, 1, (R, npts, in_ch - 3)).astype(np.float32),
+        rng.normal(0, 1, (R, npts, 128)).astype(np.float32),
+    ], axis=-1)
+
+    with torch.no_grad():
+        ref = net.rcnn_net({
+            "pts_input": torch.from_numpy(pts),
+            "roi_boxes3d": torch.zeros(R, 7),
+        })
+
+    variables = {"params": params["rcnn_net"]}
+    if "rcnn_net" in stats:
+        variables["batch_stats"] = stats["rcnn_net"]
+    out = RCNNNet(cfg=ours, num_classes=3).apply(
+        variables, jnp.asarray(pts), train=False)
+
+    assert out["rcnn_cls"].shape == (R, 3)
+    np.testing.assert_allclose(
+        np.asarray(out["rcnn_cls"]), ref["rcnn_cls"].numpy(),
+        rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(
+        np.asarray(out["rcnn_reg"]), ref["rcnn_reg"].numpy(),
+        rtol=RTOL, atol=ATOL)
