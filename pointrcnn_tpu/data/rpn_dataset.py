@@ -32,6 +32,30 @@ from pointrcnn_tpu.utils.np_geometry import (
 _warned_gt_trunc = False
 
 
+class _GTDBUnpickler(pickle.Unpickler):
+    """Unpickle gt databases from EITHER framework.
+
+    The reference's tools/generate_gt_database.py embeds
+    ``lib.utils.object3d.Object3d`` instances in its records
+    (generate_gt_database.py:79-85); remap that class (attribute-compatible
+    — parity-pinned in tests/test_reference_parity.py) onto ours so a
+    reference-generated ``*_gt_database_*.pkl`` loads directly."""
+
+    def find_class(self, module, name):
+        if name == "Object3d" and module.rsplit(".", 1)[-1] == "object3d":
+            from pointrcnn_tpu.data.object3d import Object3d
+
+            return Object3d
+        return super().find_class(module, name)
+
+
+def load_gt_database(path: str) -> list[dict]:
+    """Load a gt database pickle produced by this framework OR the
+    reference's generate_gt_database.py."""
+    with open(path, "rb") as f:
+        return _GTDBUnpickler(f).load()
+
+
 def _warn_gt_truncated(n: int, width: int) -> None:
     """Warn (once) when a TRAIN scene carries more gt boxes than the fixed
     pad width — dropped boxes would train their points as background."""
@@ -106,8 +130,7 @@ class KittiRCNNDataset(KittiDataset):
         # (reference kitti_rcnn_dataset.py:64-80)
         self.gt_database = None
         if gt_database_path and cfg.GT_AUG_ENABLED and mode == "TRAIN":
-            with open(gt_database_path, "rb") as f:
-                db = pickle.load(f)
+            db = load_gt_database(gt_database_path)
             if cfg.GT_AUG_HARD_RATIO > 0:
                 easy = [o for o in db if o["points"].shape[0] > 100]
                 hard = [o for o in db if o["points"].shape[0] <= 100]

@@ -543,3 +543,42 @@ def test_rcnn_forward_parity_multiclass(refnet):
     np.testing.assert_allclose(
         np.asarray(out["rcnn_reg"]), ref["rcnn_reg"].numpy(),
         rtol=RTOL, atol=ATOL)
+
+
+def test_reference_gt_database_pickle_loads(refnet, tmp_path):
+    """A gt database pickled by the reference's generate_gt_database.py
+    (records embed lib.utils.object3d.Object3d instances,
+    generate_gt_database.py:79-85) must load through our
+    data/rpn_dataset.load_gt_database with the Object3d remapped onto ours
+    and every attribute the paste-augmentation reads intact."""
+    import pickle
+
+    import lib.utils.object3d as ref_object3d
+
+    from pointrcnn_tpu.data.object3d import Object3d as OurObject3d
+    from pointrcnn_tpu.data.rpn_dataset import load_gt_database
+
+    line = "Car 0.00 0 -1.58 587.01 173.33 614.12 200.12 1.65 1.67 3.64 -0.65 1.71 46.70 -1.59"
+    obj = ref_object3d.Object3d(line)
+    rng = np.random.RandomState(71)
+    db = [{
+        "sample_id": 7,
+        "cls_type": "Car",
+        "gt_box3d": np.array([-0.65, 1.71, 46.70, 1.65, 1.67, 3.64, -1.59],
+                             np.float32),
+        "points": rng.uniform(-1, 1, (42, 3)).astype(np.float32),
+        "intensity": rng.rand(42).astype(np.float32),
+        "obj": obj,
+    }]
+    p = tmp_path / "train_gt_database_3level_Car.pkl"
+    with open(p, "wb") as f:
+        pickle.dump(db, f)
+
+    loaded = load_gt_database(str(p))
+    assert len(loaded) == 1
+    rec = loaded[0]
+    assert isinstance(rec["obj"], OurObject3d)
+    for attr in ("cls_type", "h", "w", "l", "ry", "level_str"):
+        assert getattr(rec["obj"], attr) == getattr(obj, attr), attr
+    np.testing.assert_array_equal(rec["obj"].pos, obj.pos)
+    np.testing.assert_array_equal(rec["points"], db[0]["points"])
