@@ -582,3 +582,92 @@ def test_reference_gt_database_pickle_loads(refnet, tmp_path):
         assert getattr(rec["obj"], attr) == getattr(obj, attr), attr
     np.testing.assert_array_equal(rec["obj"].pos, obj.pos)
     np.testing.assert_array_equal(rec["points"], db[0]["points"])
+
+
+def _load_ref_eval_rcnn():
+    """Import the reference's tools/eval_rcnn.py (module-level argparse and
+    all) with its CUDA/numba/fire dependencies stubbed, for driving its
+    result-writing helpers directly."""
+    import importlib.util
+    import types
+
+    if "ref_eval_rcnn" in sys.modules:
+        return sys.modules["ref_eval_rcnn"]
+
+    import ref_cuda_ext_torch
+    from test_kitti_eval import _load_reference_eval
+
+    ref_cuda_ext_torch.install()
+    _load_reference_eval()  # numba + rotate_iou stubs, 'tools' pkg shell
+    # let 'tools.*' imports resolve inside the reference tree (our repo's
+    # tools/ is not a package; its modules import as top-level names)
+    sys.modules["tools"].__path__ = ["/root/reference/tools"]
+    sys.modules["tools.kitti_object_eval_python"].__path__ = [
+        "/root/reference/tools/kitti_object_eval_python"]
+    sys.modules.setdefault("_init_path", types.ModuleType("_init_path"))
+    sys.modules.setdefault("fire", types.ModuleType("fire"))
+    if "skimage" not in sys.modules:  # kitti_common imports skimage.io
+        sk = types.ModuleType("skimage")
+        sk.io = types.ModuleType("skimage.io")
+        sys.modules["skimage"] = sk
+        sys.modules["skimage.io"] = sk.io
+
+    argv = sys.argv
+    sys.argv = ["eval_rcnn.py", "--eval_mode", "rcnn"]
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "ref_eval_rcnn", "/root/reference/tools/eval_rcnn.py")
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules["ref_eval_rcnn"] = mod
+        spec.loader.exec_module(mod)
+    finally:
+        sys.argv = argv
+    return mod
+
+
+def test_save_kitti_format_parity(refnet, tmp_path):
+    """The KITTI result writer (reference eval_rcnn.py:69-94: corner->image
+    projection, clipping, the 80%-of-image veto, alpha from beta+ry, %.4f
+    line format) vs ours — the files that feed the AP evaluator must be
+    identical, including WHICH boxes are vetoed."""
+    from test_reference_parity import CALIB_TEXT
+
+    from pointrcnn_tpu.data.calibration import Calibration
+    from pointrcnn_tpu.eval.evaluator import save_kitti_format
+
+    ref_mod = _load_ref_eval_rcnn()
+    refnet.cfg.CLASSES = "Car"
+
+    calib_file = tmp_path / "calib.txt"
+    calib_file.write_text(CALIB_TEXT)
+    import lib.utils.calibration as ref_calibration
+
+    rng = np.random.RandomState(77)
+    n = 24
+    boxes = np.zeros((n, 7), np.float32)
+    boxes[:, 0] = rng.uniform(-25, 25, n)
+    boxes[:, 1] = rng.uniform(0, 2.5, n)
+    boxes[:, 2] = rng.uniform(1.0, 65, n)  # some very close -> 80% veto
+    boxes[:, 3:6] = np.array([1.5, 1.6, 3.9]) * rng.uniform(0.7, 1.4, (n, 3))
+    boxes[:, 6] = rng.uniform(-np.pi, np.pi, n)
+    scores = rng.uniform(-3, 8, n).astype(np.float32)
+    img_shape = (375, 1242, 3)
+
+    ref_dir = tmp_path / "ref"; ref_dir.mkdir()
+    our_dir = tmp_path / "ours"; our_dir.mkdir()
+    ref_mod.save_kitti_format(
+        11, ref_calibration.Calibration(str(calib_file)), boxes.copy(),
+        str(ref_dir), scores, img_shape)
+    save_kitti_format(
+        11, Calibration(str(calib_file)), boxes.copy(), str(our_dir),
+        scores, img_shape, class_name="Car")
+
+    ref_lines = (ref_dir / "000011.txt").read_text().splitlines()
+    our_lines = (our_dir / "000011.txt").read_text().splitlines()
+    assert len(ref_lines) == len(our_lines) and ref_lines  # same veto set
+    for rl, ol in zip(ref_lines, our_lines):
+        rt, ot = rl.split(" "), ol.split(" ")
+        assert rt[0] == ot[0] == "Car"
+        np.testing.assert_allclose(
+            [float(v) for v in ot[1:]], [float(v) for v in rt[1:]],
+            rtol=0, atol=2e-4, err_msg=rl)
