@@ -239,6 +239,10 @@ def default_config() -> ConfigNode:
     # TPU-specific: fixed upper bound on gt boxes per scene after padding.
     rcnn.MAX_GT_BOXES = 50
     rcnn.BALL_QUERY_METHOD = "approx"  # see RPN.BALL_QUERY_METHOD
+    # commute layer-1 xyz weights through the fused SA gather (halves the
+    # dominant gather matmul).  Safe here because RCNN SA inputs are
+    # canonical-frame (|xyz| ~ roi extent); see ops/pallas_mlp.py.
+    rcnn.SA_FOLD_GEOMETRY = True
     # roi pooling point selection: "auto" (approx first-K on TPU for large N,
     # exact otherwise), "exact", or "approx"
     rcnn.ROIPOOL_METHOD = "auto"

@@ -105,6 +105,10 @@ class SharedMLP(nn.Module):
     bn: bool = True
     kernel_init: nn.initializers.Initializer = torch_conv_init
     dtype: jnp.dtype | None = None
+    # commute the layer-1 xyz weights through the fused gather (halves the
+    # gather matmul) — ONLY safe for canonical-frame inputs (the RCNN SA
+    # stack); see ops.pallas_mlp docstring for the precision analysis
+    fold_geometry: bool = False
 
     @nn.compact
     def __call__(
@@ -166,8 +170,12 @@ class SharedMLP(nn.Module):
                     bs.append(b)
             if group_args is not None:
                 if fused_group_mlp_max_supported(g_feats, g_idx, jnp.dtype(dt)):
+                    from pointrcnn_tpu.ops.pallas_mlp import fold_geometry_profitable
+
                     return fused_group_mlp_max(
-                        g_xyz, g_feats, g_new_xyz, g_idx, ws, bs, g_use_xyz
+                        g_xyz, g_feats, g_new_xyz, g_idx, ws, bs, g_use_xyz,
+                        fold_geometry=self.fold_geometry
+                        and fold_geometry_profitable(g_feats),
                     )
                 from pointrcnn_tpu.ops.grouping import group_points
 
@@ -198,10 +206,14 @@ class SharedMLP(nn.Module):
             if fused_group_mlp_max_supported(
                 g_feats, g_idx, jnp.dtype(dt)
             ) and fused_group_bwd_supported(g_feats, g_idx):
+                from pointrcnn_tpu.ops.pallas_mlp import fold_geometry_profitable
+
                 ws = [w for w, *_ in layers]
                 bs = [b for _, b, *_ in layers]
                 return fused_group_mlp_max(
-                    g_xyz, g_feats, g_new_xyz, g_idx, ws, bs, g_use_xyz
+                    g_xyz, g_feats, g_new_xyz, g_idx, ws, bs, g_use_xyz,
+                    fold_geometry=self.fold_geometry
+                    and fold_geometry_profitable(g_feats),
                 )
 
         if group_args is not None:

@@ -96,6 +96,8 @@ class SetAbstraction(nn.Module):
     ball_chunk: int = 512
     dtype: jnp.dtype | None = None
     query_method: str = "approx"
+    # safe only for canonical-frame xyz magnitudes (the RCNN stack sets it)
+    fold_geometry: bool = False
 
     @nn.compact
     def __call__(self, xyz, features, train: bool = False, bn_momentum=0.1):
@@ -104,7 +106,8 @@ class SetAbstraction(nn.Module):
             new_xyz = gather_points(xyz, fps_idx)
             idx = ball_query(xyz, new_xyz, self.radius, self.nsample,
                              chunk=self.ball_chunk, method=self.query_method)
-            feat = SharedMLP(tuple(self.mlp), bn=self.bn, dtype=self.dtype)(
+            feat = SharedMLP(tuple(self.mlp), bn=self.bn, dtype=self.dtype,
+                             fold_geometry=self.fold_geometry)(
                 None, train, bn_momentum, reduce_max=True,
                 group_args=(xyz, features, new_xyz, idx, self.use_xyz),
             )

@@ -64,6 +64,8 @@ class RCNNNet(nn.Module):
                 ball_chunk=128,
                 dtype=dtype,
                 query_method=getattr(c, "BALL_QUERY_METHOD", "approx"),
+                # canonical-frame xyz -> the folded fused-gather is safe
+                fold_geometry=bool(getattr(c, "SA_FOLD_GEOMETRY", False)),
             )
             l_xyz, l_features = sa(l_xyz, l_features, train, bn_momentum)
 

@@ -18,12 +18,25 @@ Two flop-saving table tricks:
   The gather matmul then costs f0 lanes instead of C, and layer 1's feature
   matmul disappears from the per-neighbor (rows = S*K) domain entirely.  No
   cancellation risk: P carries no positional term.
-- **Geometry hi/lo split**: relative coordinates must be formed by
-  *subtraction after the gather* (commuting them through bf16 would lose
-  the (x - c) signal to cancellation at scene coordinates), so coordinates
-  ride along as a bf16 hi/lo pair (x = hi + lo, reconstruction ~0.6 mm at
-  70 m) in extra table lanes; the layer-1 xyz weight rows are duplicated so
-  hi and lo recombine inside the in-kernel matmul: (hi - c)w + lo*w = (x-c)w.
+- **Geometry hi/lo split** (mode ``"hilo"``): relative coordinates must be
+  formed by *subtraction after the gather* (commuting them through bf16
+  would lose the (x - c) signal to cancellation at scene coordinates), so
+  coordinates ride along as a bf16 hi/lo pair (x = hi + lo, reconstruction
+  ~0.6 mm at 70 m) in extra table lanes; the layer-1 xyz weight rows are
+  duplicated so hi and lo recombine inside the in-kernel matmul:
+  (hi - c)w + lo*w = (x-c)w.
+- **Geometry fold** (mode ``"fold"``, opt-in via ``fold_geometry=True``):
+  for canonical-frame inputs (the RCNN SA stages, |xyz| bounded by the
+  enlarged-roi extent ~5 m) the geometry commutes through the gather too —
+  the table stores ``bf16(features @ w0_feat + xyz @ w0_xyz)`` and the
+  kernel subtracts the per-centroid term ``c @ w0_xyz`` (f32, computed
+  outside) after the gather: (x-c)w == xw - cw.  This removes the _GEO
+  lanes entirely, HALVING the dominant gather-matmul (CT 256 -> 128 at the
+  RCNN SA1 shape).  Cost: the bf16 table rounding now covers the combined
+  pre-activation, adding geometry noise of at most 2^-9 * max|xyz| * |w|
+  (~1 cm equivalent coordinate noise in the canonical frame) vs hilo's
+  2^-9 * radius.  NOT safe at scene-frame coordinate magnitudes (the RPN
+  SA stages, |x| ~ 70 m) — callers gate it to canonical-frame stages.
 
 Used by models.layers.SharedMLP on the eval path (BatchNorm folded into the
 weights) and, for BN-free stacks (the RCNN SA stack), on the training path
@@ -68,15 +81,20 @@ def _pick_chunk(S: int, K: int) -> int:
     return chunk
 
 
-def _make_kernel(n_layers: int, K: int, f0p: int, use_xyz: bool):
+def _make_kernel(n_layers: int, K: int, f0p: int, mode: str):
+    use_xyz = mode == "hilo"
+    fold = mode == "fold"
+
     def kernel(*refs):
-        # refs: table, idx, [cent, w0x], w1.., b0.., out
+        # refs: table, idx, [cent, w0x | cent], w1.., b0.., out
         p = 0
         table_ref = refs[p]; p += 1
         idx_ref = refs[p]; p += 1
         if use_xyz:
             cent_ref = refs[p]; p += 1
             w0x_ref = refs[p]; p += 1
+        elif fold:
+            cent_ref = refs[p]; p += 1  # per-centroid c @ w0_xyz term (f0p lanes)
         ws = refs[p : p + n_layers - 1]; p += n_layers - 1
         bs = refs[p : p + n_layers]; p += n_layers
         out_ref = refs[p]
@@ -96,6 +114,10 @@ def _make_kernel(n_layers: int, K: int, f0p: int, use_xyz: bool):
         g = jnp.dot(oh, table_ref[0], preferred_element_type=jnp.float32)
 
         x = g[:, :f0p]  # feature half of layer-1 pre-activation
+        if fold:
+            # geometry already folded into the table: subtract c @ w0_xyz
+            x = (x.reshape(s_chunk, K, f0p)
+                 - cent_ref[0][:, None, :]).reshape(rows, f0p)
         if use_xyz:
             geo = g[:, f0p:]  # (rows, _GEO): xyz-hi in 0:3, xyz-lo in 3:6
             rel = (geo.reshape(s_chunk, K, _GEO)
@@ -116,7 +138,7 @@ def _make_kernel(n_layers: int, K: int, f0p: int, use_xyz: bool):
     return kernel
 
 
-def _fused_group(table, idx, cent, w0x, ws, bs, use_xyz, f0p):
+def _fused_group(table, idx, cent, w0x, ws, bs, mode, f0p):
     B, N, CT = table.shape
     S, K = idx.shape[1], idx.shape[2]
     n_layers = 1 + len(ws)
@@ -131,12 +153,16 @@ def _fused_group(table, idx, cent, w0x, ws, bs, use_xyz, f0p):
                      memory_space=pltpu.VMEM),
     ]
     operands = [table, idx]
-    if use_xyz:
+    if mode == "hilo":
         in_specs.append(pl.BlockSpec((1, chunk_s, _GEO), lambda b, s: (b, s, 0),
                                      memory_space=pltpu.VMEM))
         operands.append(cent)
         in_specs.append(pl.BlockSpec(w0x.shape, fixed, memory_space=pltpu.VMEM))
         operands.append(w0x)
+    elif mode == "fold":
+        in_specs.append(pl.BlockSpec((1, chunk_s, f0p), lambda b, s: (b, s, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(cent)
     for w in ws:
         in_specs.append(pl.BlockSpec(w.shape, fixed, memory_space=pltpu.VMEM))
         operands.append(w)
@@ -145,7 +171,7 @@ def _fused_group(table, idx, cent, w0x, ws, bs, use_xyz, f0p):
         operands.append(b)
 
     return pl.pallas_call(
-        _make_kernel(n_layers, K, f0p, use_xyz),
+        _make_kernel(n_layers, K, f0p, mode),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
@@ -183,14 +209,31 @@ def _ceil128(x: int) -> int:
     return (x + 127) // 128 * 128
 
 
+# below this table size the gather matmul is no longer the dominant cost and
+# fold's per-row centroid subtraction (rows x f0 on the VPU) outweighs the
+# halved gather (measured: SA1 N=512 8.5->5.7 ms, SA2 N=128 2.26->2.65 ms —
+# tools/bench_fold.py)
+_FOLD_MIN_N = 256
+
+
+def fold_geometry_profitable(features) -> bool:
+    """Whether the folded-geometry table wins at this stage's shape."""
+    return features is not None and features.shape[1] >= _FOLD_MIN_N
+
+
 def fused_group_mlp_max(xyz, features, new_xyz, idx, weights, biases,
-                        use_xyz: bool = True):
+                        use_xyz: bool = True, fold_geometry: bool = False):
     """Fused ``group_points`` + MLP stack + max-over-K.
 
     :param xyz: (B, N, 3) f32; features: (B, N, C); new_xyz: (B, S, 3)
     :param idx: (B, S, K) int32 neighborhood indices
     :param weights: list of (Ci, Ci+1); biases: list of (Ci+1,) — BN folded.
         ``weights[0]`` has Cin = 3 + C when ``use_xyz`` else C.
+    :param fold_geometry: commute the layer-1 xyz weights through the gather
+        (halves the gather matmul; see module docstring).  Only valid for
+        canonical-frame ``xyz`` magnitudes — adds bf16 table rounding of the
+        absolute-coordinate term, ~2^-9 * max|xyz| equivalent coordinate
+        noise.  Ignored when ``use_xyz`` is False.
     :return: (B, S, Cout) f32
 
     Differentiable.  Within :func:`fused_group_bwd_supported` shapes the VJP
@@ -204,17 +247,18 @@ def fused_group_mlp_max(xyz, features, new_xyz, idx, weights, biases,
     fallback gradients can diverge locally — fine in practice (and exact
     where cotangents are zero, e.g. the FIXED RPN under ``stop_gradient``).
     """
+    mode = ("fold" if fold_geometry else "hilo") if use_xyz else "none"
     return _fused_group_mlp_max_diff(
-        use_xyz, xyz, features, new_xyz, idx.astype(jnp.int32),
+        mode, xyz, features, new_xyz, idx.astype(jnp.int32),
         tuple(weights), tuple(biases),
     )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _fused_group_mlp_max_diff(use_xyz, xyz, features, new_xyz, idx, weights,
+def _fused_group_mlp_max_diff(mode, xyz, features, new_xyz, idx, weights,
                               biases):
     return _fused_group_mlp_max_impl(
-        use_xyz, xyz, features, new_xyz, idx, weights, biases
+        mode, xyz, features, new_xyz, idx, weights, biases
     )
 
 
@@ -225,16 +269,16 @@ def _trim_padded_lanes(out_full, weights):
     return out_full[..., : weights[0].shape[1]] if len(weights) == 1 else out_full
 
 
-def _fused_group_mlp_max_fwd(use_xyz, xyz, features, new_xyz, idx, weights,
+def _fused_group_mlp_max_fwd(mode, xyz, features, new_xyz, idx, weights,
                              biases):
     out_full = _fused_group_mlp_max_full(
-        use_xyz, xyz, features, new_xyz, idx, weights, biases
+        mode, xyz, features, new_xyz, idx, weights, biases
     )
     out = _trim_padded_lanes(out_full, weights)
     return out, (xyz, features, new_xyz, idx, weights, biases, out_full)
 
 
-def _fused_group_mlp_max_bwd(use_xyz, res, ct):
+def _fused_group_mlp_max_bwd(mode, res, ct):
     xyz, features, new_xyz, idx, weights, biases, out_full = res
     import numpy as _np
 
@@ -242,7 +286,7 @@ def _fused_group_mlp_max_bwd(use_xyz, res, ct):
 
     if fused_group_bwd_supported(features, idx):
         gx, gf, gn, gw, gb = _pallas_bwd(
-            use_xyz, xyz, features, new_xyz, idx, weights, biases, out_full, ct
+            mode, xyz, features, new_xyz, idx, weights, biases, out_full, ct
         )
         return gx, gf, gn, gidx, gw, gb
 
@@ -251,7 +295,7 @@ def _fused_group_mlp_max_bwd(use_xyz, res, ct):
     from pointrcnn_tpu.ops.grouping import group_points
 
     def reference(xyz, features, new_xyz, weights, biases):
-        g = group_points(xyz, features, new_xyz, idx, use_xyz,
+        g = group_points(xyz, features, new_xyz, idx, mode != "none",
                          out_dtype=jnp.bfloat16)
         return fused_mlp_max(g, list(weights), list(biases))
 
@@ -269,18 +313,19 @@ def _pad_lanes(a, width, axis):
     return jnp.pad(a, pads) if width != a.shape[axis] else a
 
 
-def _prepare_operands(use_xyz, xyz, features, new_xyz, weights, biases):
+def _prepare_operands(mode, xyz, features, new_xyz, weights, biases):
     """Build the kernel operands shared by the forward and backward passes:
-    the gather table (commuted layer-1 P lanes + hi/lo geometry lanes), the
-    padded centroid block, the duplicated layer-1 xyz weight rows, and the
-    lane-padded deeper weights/biases."""
+    the gather table (commuted layer-1 P lanes, + hi/lo geometry lanes in
+    ``"hilo"`` mode / folded xyz @ w0_xyz in ``"fold"`` mode), the padded
+    centroid block, the duplicated layer-1 xyz weight rows (hilo only), and
+    the lane-padded deeper weights/biases."""
     B, N, C = features.shape
     S = new_xyz.shape[1]
     w0 = weights[0]
     f0 = w0.shape[1]
     f0p = _ceil128(f0)
 
-    if use_xyz:
+    if mode != "none":
         w0x3, w0f = w0[:3], w0[3:]
     else:
         w0f = w0
@@ -288,8 +333,9 @@ def _prepare_operands(use_xyz, xyz, features, new_xyz, weights, biases):
     # raw features (bf16 inputs feed the MXU, matching the kernel's own
     # compute dtype)
     P = jnp.dot(features.astype(jnp.bfloat16), w0f.astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
-    if use_xyz:
+                preferred_element_type=jnp.float32)
+    if mode == "hilo":
+        P = P.astype(jnp.bfloat16)
         # hi/lo split so geometry survives the bf16 gather exactly; ONE
         # concatenate builds the whole table (pad + .at[].set would cost
         # two extra full-tensor HBM rewrites at ~26 MB each)
@@ -304,8 +350,22 @@ def _prepare_operands(use_xyz, xyz, features, new_xyz, weights, biases):
         # duplicate xyz weight rows: (hi - c) w + lo w == (xyz - c) w
         w0x = jnp.zeros((_GEO, f0p), jnp.float32)
         w0x = w0x.at[0:3, :f0].set(w0x3).at[3:6, :f0].set(w0x3)
+    elif mode == "fold":
+        # geometry commuted through the gather: table rows carry the FULL
+        # per-point layer-1 pre-activation P + x @ w0_xyz (bf16 — the one
+        # rounding this mode adds); the centroid term c @ w0_xyz stays f32
+        # and is subtracted in-kernel after the gather
+        G = jnp.einsum("bnc,cf->bnf", xyz, w0x3,
+                       precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)
+        table = _pad_lanes((P + G).astype(jnp.bfloat16), f0p, 2)
+        cent = _pad_lanes(
+            jnp.einsum("bsc,cf->bsf", new_xyz, w0x3,
+                       precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32), f0p, 2)
+        w0x = None
     else:
-        table, cent, w0x = _pad_lanes(P, f0p, 2), None, None
+        table, cent, w0x = _pad_lanes(P.astype(jnp.bfloat16), f0p, 2), None, None
     # padded layer-1 lanes carry zero P, zero bias and zero w1 rows, so they
     # stay zero through the ReLU and contribute nothing downstream
     ws = [_pad_lanes(weights[1].astype(jnp.float32), f0p, 0)] if len(weights) > 1 else []
@@ -315,20 +375,20 @@ def _prepare_operands(use_xyz, xyz, features, new_xyz, weights, biases):
     return table, cent, w0x, tuple(ws), tuple(bs), f0, f0p
 
 
-def _fused_group_mlp_max_full(use_xyz, xyz, features, new_xyz, idx, weights,
+def _fused_group_mlp_max_full(mode, xyz, features, new_xyz, idx, weights,
                               biases):
     table, cent, w0x, ws, bs, f0, f0p = _prepare_operands(
-        use_xyz, xyz, features, new_xyz, weights, biases
+        mode, xyz, features, new_xyz, weights, biases
     )
     return _fused_group(
-        table, idx.astype(jnp.int32), cent, w0x, ws, bs, use_xyz, f0p
+        table, idx.astype(jnp.int32), cent, w0x, ws, bs, mode, f0p
     )
 
 
-def _fused_group_mlp_max_impl(use_xyz, xyz, features, new_xyz, idx, weights,
+def _fused_group_mlp_max_impl(mode, xyz, features, new_xyz, idx, weights,
                               biases):
     out = _fused_group_mlp_max_full(
-        use_xyz, xyz, features, new_xyz, idx, weights, biases
+        mode, xyz, features, new_xyz, idx, weights, biases
     )
     return _trim_padded_lanes(out, weights)
 
@@ -369,7 +429,10 @@ def fused_group_bwd_supported(features, idx) -> bool:
     return N <= _MAX_N and chunk >= 8 and chunk * K * N <= _MAX_OH_CELLS
 
 
-def _make_bwd_kernel(n_layers: int, K: int, f0p: int, use_xyz: bool):
+def _make_bwd_kernel(n_layers: int, K: int, f0p: int, mode: str):
+    use_xyz = mode == "hilo"
+    fold = mode == "fold"
+
     def kernel(*refs):
         p = 0
         table_ref = refs[p]; p += 1
@@ -377,13 +440,16 @@ def _make_bwd_kernel(n_layers: int, K: int, f0p: int, use_xyz: bool):
         if use_xyz:
             cent_ref = refs[p]; p += 1
             w0x_ref = refs[p]; p += 1
+        elif fold:
+            cent_ref = refs[p]; p += 1
         ws = refs[p : p + n_layers - 1]; p += n_layers - 1
         bs = refs[p : p + n_layers]; p += n_layers
         out_ref = refs[p]; p += 1
         ct_ref = refs[p]; p += 1
         dtable_ref = refs[p]; p += 1
-        if use_xyz:
+        if use_xyz or fold:
             dcent_ref = refs[p]; p += 1
+        if use_xyz:
             dw0x_ref = refs[p]; p += 1
         dws = refs[p : p + n_layers - 1]; p += n_layers - 1
         dbs = refs[p : p + n_layers]; p += n_layers
@@ -428,6 +494,9 @@ def _make_bwd_kernel(n_layers: int, K: int, f0p: int, use_xyz: bool):
         oh = (cols3 == idx3).astype(jnp.bfloat16).reshape(rows, n)
         g = jnp.dot(oh, table_ref[0], preferred_element_type=jnp.float32)
         x = g[:, :f0p]
+        if fold:
+            x = (x.reshape(s_chunk, K, f0p)
+                 - cent_ref[0][:, None, :]).reshape(rows, f0p)
         if use_xyz:
             geo = g[:, f0p:]
             rel = (geo.reshape(s_chunk, K, _GEO)
@@ -472,6 +541,10 @@ def _make_bwd_kernel(n_layers: int, K: int, f0p: int, use_xyz: bool):
             drel = dot_nt(dz, w0x_ref[...])
             dcent_ref[0] = -jnp.sum(drel.reshape(s_chunk, K, _GEO), axis=1)
             dgather = jnp.concatenate([dz, drel], axis=1)  # (rows, CT)
+        elif fold:
+            # x = gather - cent_term: straight pass-through / negated sum
+            dcent_ref[0] = -jnp.sum(dz.reshape(s_chunk, K, f0p), axis=1)
+            dgather = dz
         else:
             dgather = dz
         # transposed gather: scatter-add of dgather back to table rows
@@ -480,12 +553,14 @@ def _make_bwd_kernel(n_layers: int, K: int, f0p: int, use_xyz: bool):
     return kernel
 
 
-def _pallas_bwd(use_xyz, xyz, features, new_xyz, idx, weights, biases,
+def _pallas_bwd(mode, xyz, features, new_xyz, idx, weights, biases,
                 out_full, ct):
+    use_xyz = mode == "hilo"
+    fold = mode == "fold"
     B, N, C = features.shape
     S, K = idx.shape[1], idx.shape[2]
     table, cent, w0x, ws, bs, f0, f0p = _prepare_operands(
-        use_xyz, xyz, features, new_xyz, weights, biases
+        mode, xyz, features, new_xyz, weights, biases
     )
     n_layers = 1 + len(ws)
     cout = out_full.shape[-1]
@@ -508,6 +583,10 @@ def _pallas_bwd(use_xyz, xyz, features, new_xyz, idx, weights, biases,
         operands.append(cent)
         in_specs.append(pl.BlockSpec(w0x.shape, fixed, memory_space=pltpu.VMEM))
         operands.append(w0x)
+    elif fold:
+        in_specs.append(pl.BlockSpec((1, chunk_s, f0p), lambda b, s: (b, s, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(cent)
     for w in ws:
         in_specs.append(pl.BlockSpec(w.shape, fixed, memory_space=pltpu.VMEM))
         operands.append(w)
@@ -522,10 +601,12 @@ def _pallas_bwd(use_xyz, xyz, features, new_xyz, idx, weights, biases,
     out_shape = [jax.ShapeDtypeStruct((B, N, CT), jnp.float32)]
     out_specs = [pl.BlockSpec((1, N, CT), lambda b, s: (b, 0, 0),
                               memory_space=pltpu.VMEM)]
-    if use_xyz:
-        out_shape.append(jax.ShapeDtypeStruct((B, S, _GEO), jnp.float32))
-        out_specs.append(pl.BlockSpec((1, chunk_s, _GEO), lambda b, s: (b, s, 0),
+    if use_xyz or fold:
+        geo_w = _GEO if use_xyz else f0p
+        out_shape.append(jax.ShapeDtypeStruct((B, S, geo_w), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, chunk_s, geo_w), lambda b, s: (b, s, 0),
                                       memory_space=pltpu.VMEM))
+    if use_xyz:
         out_shape.append(jax.ShapeDtypeStruct(w0x.shape, jnp.float32))
         out_specs.append(pl.BlockSpec(w0x.shape, fixed, memory_space=pltpu.VMEM))
     for w in ws:
@@ -536,7 +617,7 @@ def _pallas_bwd(use_xyz, xyz, features, new_xyz, idx, weights, biases,
         out_specs.append(pl.BlockSpec(bb.shape, fixed, memory_space=pltpu.VMEM))
 
     res = pl.pallas_call(
-        _make_bwd_kernel(n_layers, K, f0p, use_xyz),
+        _make_bwd_kernel(n_layers, K, f0p, mode),
         grid=grid,
         in_specs=in_specs,
         out_specs=tuple(out_specs),
@@ -546,15 +627,16 @@ def _pallas_bwd(use_xyz, xyz, features, new_xyz, idx, weights, biases,
 
     k = 0
     dtable = res[k]; k += 1
-    if use_xyz:
+    if use_xyz or fold:
         dcent = res[k]; k += 1
+    if use_xyz:
         dw0x_dup = res[k]; k += 1
     dws_pad = res[k : k + n_layers - 1]; k += n_layers - 1
     dbs_pad = res[k : k + n_layers]
 
     # assemble parameter-space grads from the table/commuted-lane grads
     w0 = weights[0]
-    w0f = w0[3:] if use_xyz else w0
+    w0f = w0[3:] if mode != "none" else w0
     dP = dtable[..., :f0]
     # P = features_bf16 @ w0f_bf16 (see _prepare_operands)
     dfeatures = jax.lax.dot_general(
@@ -570,6 +652,26 @@ def _pallas_bwd(use_xyz, xyz, features, new_xyz, idx, weights, biases,
         dnew_xyz = dcent[..., :3]
         # the hi and lo weight rows are the same parameter w0[:3]
         dw0x3 = dw0x_dup[0:3, :f0] + dw0x_dup[3:6, :f0]
+        dw0 = jnp.concatenate([dw0x3, dw0f], axis=0)
+    elif fold:
+        # table = bf16(P + xyz @ w0x3), cent = new_xyz @ w0x3 (both linear;
+        # the bf16 cast carries identity derivative)
+        w0x3 = w0[:3]
+        dcent_f = dcent[..., :f0]
+        dxyz = jnp.einsum("bnf,cf->bnc", dP, w0x3,
+                          precision=jax.lax.Precision.HIGHEST,
+                          preferred_element_type=jnp.float32)
+        dnew_xyz = jnp.einsum("bsf,cf->bsc", dcent_f, w0x3,
+                              precision=jax.lax.Precision.HIGHEST,
+                              preferred_element_type=jnp.float32)
+        dw0x3 = (
+            jnp.einsum("bnc,bnf->cf", xyz, dP,
+                       precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)
+            + jnp.einsum("bsc,bsf->cf", new_xyz, dcent_f,
+                         precision=jax.lax.Precision.HIGHEST,
+                         preferred_element_type=jnp.float32)
+        )
         dw0 = jnp.concatenate([dw0x3, dw0f], axis=0)
     else:
         dxyz = jnp.zeros_like(xyz)

@@ -163,6 +163,34 @@ def main():
     gerr = np.abs(gf - gr).max() / (np.abs(gr).max() + 1e-9)
     check("fused kernel grad (custom VJP)", gerr < 5e-2, f"rel {gerr:.1e}")
 
+    # 8) folded-geometry mode (the RCNN SA default): canonical-frame
+    # coordinates, fwd vs the hilo kernel and grads vs the XLA formulation
+    xyzc = jnp.asarray(rng.uniform(-4, 4, (B, N, 3)).astype(np.float32))
+    new_xyzc = xyzc[:, :S]
+    ref_f = jax.device_get(jax.jit(lambda x, fe, nx, i: fused_group_mlp_max(
+        x, fe, nx, i, ws, bs2, True))(xyzc, featg, new_xyzc, idxg))
+    got_f = jax.device_get(jax.jit(lambda x, fe, nx, i: fused_group_mlp_max(
+        x, fe, nx, i, ws, bs2, True, fold_geometry=True))(
+        xyzc, featg, new_xyzc, idxg))
+    err_f = np.abs(got_f - ref_f).max() / (np.abs(ref_f).max() + 1e-9)
+    check("fused fold fwd vs hilo", err_f < 3e-2, f"rel {err_f:.1e}")
+
+    def loss_fold(x, fe):
+        return jnp.sum(jnp.sin(fused_group_mlp_max(
+            x, fe, new_xyzc, idxg, ws, bs2, True, fold_geometry=True)))
+
+    def loss_ref_c(x, fe):
+        return jnp.sum(jnp.sin(fused_mlp_max(
+            group_points(x, fe, new_xyzc, idxg, True, jnp.bfloat16), ws, bs2)))
+
+    gxf, gff = jax.device_get(jax.jit(jax.grad(loss_fold, (0, 1)))(xyzc, featg))
+    gxr, gfr = jax.device_get(jax.jit(jax.grad(loss_ref_c, (0, 1)))(xyzc, featg))
+    gerr_f = max(
+        np.abs(gff - gfr).max() / (np.abs(gfr).max() + 1e-9),
+        np.abs(gxf - gxr).max() / (np.abs(gxr).max() + 1e-9),
+    )
+    check("fused fold grad (Pallas bwd)", gerr_f < 8e-2, f"rel {gerr_f:.1e}")
+
     print(f"\n{'ALL PASS' if not failures else 'FAILURES: ' + ', '.join(failures)}")
     sys.exit(1 if failures else 0)
 
