@@ -74,6 +74,13 @@ def load_params_partial(path: str, params, batch_stats, subtrees=("rpn",)):
     return params, batch_stats
 
 
+def epoch_from_path(path: str) -> int | None:
+    """Extract the epoch id from a ``checkpoint_epoch_N`` path (the
+    reference's filename-epoch convention, eval_rcnn.py:741-744)."""
+    m = re.search(r"checkpoint_epoch_(\d+)", os.path.basename(os.path.normpath(path)))
+    return int(m.group(1)) if m else None
+
+
 def latest_checkpoint(ckpt_root: str) -> str | None:
     if not os.path.isdir(ckpt_root):
         return None

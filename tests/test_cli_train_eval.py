@@ -62,3 +62,46 @@ def test_train_and_eval_cli(env, monkeypatch):
     assert len(os.listdir(final)) == 4
     log = open(os.path.join(eval_dir, "log_eval.txt")).read()
     assert "3d   AP" in log  # official AP evaluator ran
+
+    # split-checkpoint joint eval (reference --rpn_ckpt/--rcnn_ckpt,
+    # eval_rcnn.py:35-36 + load_ckpt_based_on_args 698-726): the RPN stays
+    # frozen during rcnn training, so stitching rpn_ckpt + rcnn_ckpt must
+    # reproduce the single merged checkpoint bit for bit
+    split_dir = os.path.join(out, "eval_split")
+    run_tool(
+        monkeypatch, "eval",
+        ["--cfg_file", TINY_CFG, "--eval_mode", "rcnn", "--data_root", root,
+         "--batch_size", "2", "--rpn_ckpt", rpn_ckpt, "--rcnn_ckpt", rcnn_ckpt,
+         "--output_dir", split_dir, "--workers", "1"],
+    )
+    split_final = os.path.join(split_dir, "final_result", "data")
+    for name in sorted(os.listdir(final)):
+        a = open(os.path.join(final, name)).read()
+        b = open(os.path.join(split_final, name)).read()
+        assert a == b, f"split-ckpt eval diverged on {name}"
+
+    # --eval_all: every checkpoint in the dir gets evaluated and its scalars
+    # land in a per-split tensorboard dir (reference eval_rcnn.py:833-836);
+    # --start_epoch below the available epochs filters everything out
+    # (eval_rcnn.py:49,795)
+    all_dir = os.path.join(out, "eval_all")
+    run_tool(
+        monkeypatch, "eval",
+        ["--cfg_file", TINY_CFG, "--eval_mode", "rpn", "--data_root", root,
+         "--batch_size", "2", "--ckpt", os.path.join(rpn_dir, "ckpt"),
+         "--eval_all", "--output_dir", all_dir, "--workers", "1"],
+    )
+    log = open(os.path.join(all_dir, "log_eval.txt")).read()
+    assert "epoch 1:" in log
+    tb_dir = os.path.join(all_dir, "tensorboard_val")
+    assert os.path.isdir(tb_dir) and os.listdir(tb_dir), "no eval tb scalars"
+
+    with pytest.raises(AssertionError, match="no checkpoints"):
+        run_tool(
+            monkeypatch, "eval",
+            ["--cfg_file", TINY_CFG, "--eval_mode", "rpn", "--data_root", root,
+             "--batch_size", "2", "--ckpt", os.path.join(rpn_dir, "ckpt"),
+             "--eval_all", "--start_epoch", "2",
+             "--output_dir", os.path.join(out, "eval_all_skip"),
+             "--workers", "1"],
+        )

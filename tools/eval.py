@@ -29,7 +29,17 @@ def parse_args():
     p.add_argument("--rcnn_eval_roi_dir", type=str, default=None)
     p.add_argument("--rcnn_eval_feature_dir", type=str, default=None)
     p.add_argument("--ckpt", type=str, default=None)
+    p.add_argument("--rpn_ckpt", type=str, default=None,
+                   help="restore only the RPN subtree from this checkpoint "
+                        "(reference eval_rcnn.py:35 + load_ckpt_based_on_args "
+                        "eval_rcnn.py:698-726: full --ckpt first, then stage "
+                        "subtrees override)")
+    p.add_argument("--rcnn_ckpt", type=str, default=None,
+                   help="restore only the RCNN subtree from this checkpoint")
     p.add_argument("--eval_all", action="store_true")
+    p.add_argument("--start_epoch", type=int, default=0,
+                   help="with --eval_all: skip checkpoints whose epoch is "
+                        "below this (reference eval_rcnn.py:49, 795)")
     p.add_argument("--wait", action="store_true",
                    help="with --eval_all: keep polling the ckpt dir for new "
                         "checkpoints (reference repeat_eval_ckpt, eval_rcnn.py:784-841)")
@@ -124,15 +134,34 @@ def eval_ckpt(args, cfg, ckpt_path, logger):
                   if isinstance(v, np.ndarray) and v.dtype != object}
     tx = build_optimizer(cfg, total_steps=1, steps_per_epoch=1)
     state = create_train_state(model, cfg, sample, tx, train=False)
-    state, epoch, _ = load_checkpoint(ckpt_path, state)
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    # restore order mirrors the reference's load_ckpt_based_on_args
+    # (eval_rcnn.py:698-726): full --ckpt first, then the RPN / RCNN stage
+    # subtrees override from their own checkpoints
+    from pointrcnn_tpu.train.checkpoint import epoch_from_path, load_params_partial
+
+    epoch = 0
+    if ckpt_path is not None:
+        state, epoch, _ = load_checkpoint(ckpt_path, state)
+    params, batch_stats = state.params, state.batch_stats
+    if args.rpn_ckpt is not None:
+        logger.info("==> loading RPN subtree from %s", args.rpn_ckpt)
+        params, batch_stats = load_params_partial(
+            args.rpn_ckpt, params, batch_stats, ("rpn",))
+        epoch = epoch_from_path(args.rpn_ckpt) or epoch
+    if args.rcnn_ckpt is not None:
+        logger.info("==> loading RCNN subtree from %s", args.rcnn_ckpt)
+        params, batch_stats = load_params_partial(
+            args.rcnn_ckpt, params, batch_stats, ("rcnn_net",))
+        epoch = epoch_from_path(args.rcnn_ckpt) or epoch
+    variables = {"params": params, "batch_stats": batch_stats}
     if mesh is not None:
         from pointrcnn_tpu.parallel.mesh import replicated
 
         variables = jax.device_put(variables, replicated(mesh))
 
+    anchor = ckpt_path or args.rcnn_ckpt or args.rpn_ckpt
     out_root = args.output_dir or os.path.join(
-        os.path.dirname(os.path.dirname(ckpt_path)), "eval", f"epoch_{epoch}", split
+        os.path.dirname(os.path.dirname(anchor)), "eval", f"epoch_{epoch}", split
     )
     os.makedirs(out_root, exist_ok=True)
 
@@ -202,22 +231,38 @@ def main():
     if args.eval_all:
         import time
 
+        from tensorboardX import SummaryWriter
+
+        # per-checkpoint eval scalars (reference eval_rcnn.py:833-836)
+        tb_log = SummaryWriter(
+            log_dir=os.path.join(log_dir, f"tensorboard_{cfg.TEST.SPLIT}")
+        )
         evaluated: set[int] = set()
         while True:
-            ckpts = [c for c in list_checkpoints(args.ckpt) if c[0] not in evaluated]
+            ckpts = [c for c in list_checkpoints(args.ckpt)
+                     if c[0] not in evaluated and c[0] >= args.start_epoch]
             if not ckpts and not args.wait:
-                assert evaluated, f"no checkpoints under {args.ckpt}"
+                assert evaluated, (
+                    f"no checkpoints under {args.ckpt} with epoch >= "
+                    f"{args.start_epoch}"
+                )
                 break
             for epoch, path in ckpts:
                 logger.info("==== evaluating %s ====", path)
                 ret = eval_ckpt(args, cfg, path, logger)
                 logger.info("epoch %d: %s", epoch, ret)
+                for key, val in ret.items():
+                    if isinstance(val, (int, float, np.floating, np.integer)):
+                        tb_log.add_scalar(key, float(val), epoch)
+                tb_log.flush()
                 evaluated.add(epoch)
             if not args.wait:
                 break
             time.sleep(30)  # poll interval (reference eval_rcnn.py:817-824)
     else:
-        assert args.ckpt, "--ckpt required"
+        assert args.ckpt or args.rpn_ckpt or args.rcnn_ckpt, (
+            "one of --ckpt / --rpn_ckpt / --rcnn_ckpt required"
+        )
         ret = eval_ckpt(args, cfg, args.ckpt, logger)
         logger.info("result: %s", ret)
 
