@@ -30,11 +30,17 @@ def _label_line(cls, box3d, box2d=(300, 150, 400, 250), alpha=0.0):
 
 
 def make_mini_kitti(root, num_samples=4, n_points=4000, seed=0, split="train",
-                    classes=("Car", "Car")):
+                    classes=("Car", "Car"), z_range=(10.0, 50.0)):
     """Create a tiny on-disk KITTI tree; returns (root, boxes per sample).
 
     ``classes``: the object class per box in each scene; Car boxes are
-    car-sized, Pedestrian/Cyclist boxes person-sized."""
+    car-sized, Pedestrian/Cyclist boxes person-sized.
+    ``z_range``: depth band for object centers. The official KITTI protocol
+    ignores detections whose projected 2D bbox is shorter than the
+    difficulty's min height (reference eval.py clean_data), so convergence
+    tests that assert AP should keep objects near enough that projected
+    heights clear the threshold (f=700: a 1.5 m car needs z <~ 26 m for
+    easy's 40 px, z <~ 42 m for moderate's 25 px)."""
     SIZES = {
         "Car": (1.5, 1.6, 3.9),
         "Pedestrian": (1.73, 0.6, 0.8),
@@ -69,7 +75,7 @@ def make_mini_kitti(root, num_samples=4, n_points=4000, seed=0, split="train",
         for j, cls in enumerate(classes):
             h, w, l = SIZES[cls]
             cx = rng.uniform(-8, 8)
-            cz = rng.uniform(10, 50)
+            cz = rng.uniform(*z_range)
             ry = rng.uniform(-np.pi, np.pi)
             box = (cx, 1.65, cz, h, w, l, ry)
             boxes.append(box)
