@@ -189,6 +189,13 @@ def default_config() -> ConfigNode:
     # ball-query neighborhood selection: "approx" (nearest-k PartialReduce)
     # or "exact" (first-nsample-in-point-order, the CUDA semantics)
     rpn.BALL_QUERY_METHOD = "approx"
+    # FPS centroid selection: "blockwise" (production default: two-level
+    # stripe FPS, ~4x fewer wall-clock ms at 16384 pts — each of 16 stripes
+    # is an iid random subset whose exact FPS picks spread over the whole
+    # scene; centroid-coverage parity measured in tools/ab_approximations.py)
+    # or "exact" (the CUDA greedy chain; the reference-parity setting, used
+    # by every parity test)
+    rpn.FPS_METHOD = "blockwise"
     c.RPN = rpn
 
     rcnn = ConfigNode()
@@ -239,6 +246,7 @@ def default_config() -> ConfigNode:
     # TPU-specific: fixed upper bound on gt boxes per scene after padding.
     rcnn.MAX_GT_BOXES = 50
     rcnn.BALL_QUERY_METHOD = "approx"  # see RPN.BALL_QUERY_METHOD
+    rcnn.FPS_METHOD = "exact"  # see RPN.FPS_METHOD (roi stages are small)
     # commute layer-1 xyz weights through the fused SA gather (halves the
     # dominant gather matmul).  Safe here because RCNN SA inputs are
     # canonical-frame (|xyz| ~ roi extent); see ops/pallas_mlp.py.

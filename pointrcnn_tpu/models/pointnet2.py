@@ -39,12 +39,13 @@ class SetAbstractionMSG(nn.Module):
     ball_chunk: int = 512
     dtype: jnp.dtype | None = None
     query_method: str = "approx"
+    fps_method: str = "exact"
 
     @nn.compact
     def __call__(self, xyz, features, train: bool = False, bn_momentum=0.1):
         """xyz: (B, N, 3); features: (B, N, C) or None ->
         (new_xyz (B, npoint, 3), new_features (B, npoint, sum(mlp[-1])))."""
-        fps_idx = furthest_point_sample(xyz, self.npoint)
+        fps_idx = furthest_point_sample(xyz, self.npoint, method=self.fps_method)
         new_xyz = gather_points(xyz, fps_idx)
         specs = tuple(zip(self.radii, self.nsamples))
 
@@ -96,13 +97,14 @@ class SetAbstraction(nn.Module):
     ball_chunk: int = 512
     dtype: jnp.dtype | None = None
     query_method: str = "approx"
+    fps_method: str = "exact"
     # safe only for canonical-frame xyz magnitudes (the RCNN stack sets it)
     fold_geometry: bool = False
 
     @nn.compact
     def __call__(self, xyz, features, train: bool = False, bn_momentum=0.1):
         if self.npoint is not None:
-            fps_idx = furthest_point_sample(xyz, self.npoint)
+            fps_idx = furthest_point_sample(xyz, self.npoint, method=self.fps_method)
             new_xyz = gather_points(xyz, fps_idx)
             idx = ball_query(xyz, new_xyz, self.radius, self.nsample,
                              chunk=self.ball_chunk, method=self.query_method)
@@ -160,6 +162,7 @@ class Pointnet2MSG(nn.Module):
     bn: bool = True
     dtype: jnp.dtype | None = None
     query_method: str = "approx"
+    fps_method: str = "exact"
 
     @nn.compact
     def __call__(self, pointcloud, train: bool = False, bn_momentum=0.1):
@@ -177,6 +180,7 @@ class Pointnet2MSG(nn.Module):
                 bn=self.bn,
                 dtype=self.dtype,
                 query_method=self.query_method,
+                fps_method=self.fps_method,
             )
             li_xyz, li_feat = sa(l_xyz[k], l_features[k], train, bn_momentum)
             l_xyz.append(li_xyz)

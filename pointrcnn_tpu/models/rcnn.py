@@ -64,6 +64,7 @@ class RCNNNet(nn.Module):
                 ball_chunk=128,
                 dtype=dtype,
                 query_method=getattr(c, "BALL_QUERY_METHOD", "approx"),
+                fps_method=getattr(c, "FPS_METHOD", "exact"),
                 # canonical-frame xyz -> the folded fused-gather is safe
                 fold_geometry=bool(getattr(c, "SA_FOLD_GEOMETRY", False)),
             )

@@ -39,6 +39,7 @@ class RPN(nn.Module):
             bn=rpn_cfg.USE_BN,
             dtype=dtype,
             query_method=getattr(rpn_cfg, "BALL_QUERY_METHOD", "approx"),
+            fps_method=getattr(rpn_cfg, "FPS_METHOD", "exact"),
         )
         backbone_xyz, backbone_features = backbone(pts_input, train, bn_momentum)
 

@@ -133,3 +133,59 @@ def gather_points(points: jnp.ndarray, idx: jnp.ndarray, exact: bool = True) -> 
 
     out = jnp.take_along_axis(points, flat[..., None], axis=1)
     return out.reshape(idx.shape + (C,))
+
+
+@jax.custom_vjp
+def _gather_mm_bwd(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """take_along_axis forward, transposed one-hot MATMUL backward.
+
+    XLA's native VJP for a gather is a scatter-add, which serialises on TPU
+    and is data-dependent (heavily-overlapping neighborhoods collide); the
+    transposed one-hot einsum grad_P = sum_m [idx_m == n] g_m runs on the MXU
+    at a fixed cost (same trick as ops.grouping._interp_matmul_bwd).  Used by
+    group_points for mid-size tables (1024 < N <= 4096) where the one-hot
+    FORWARD would be too much HBM traffic but the backward still wins.
+    Gradients are bf16-rounded (the gathered features feed bf16 MLPs).
+    """
+    B, N, C = points.shape
+    flat = idx.reshape(B, -1)
+    out = jnp.take_along_axis(points, flat[..., None], axis=1)
+    return out.reshape(idx.shape + (C,))
+
+
+def _gather_mm_fwd_rule(points, idx):
+    return _gather_mm_bwd(points, idx), (idx, jnp.shape(points))
+
+
+def _gather_mm_bwd_rule(res, g):
+    import numpy as _np
+
+    idx, pshape = res
+    B, N, C = pshape
+    flat = idx.reshape(B, -1)
+    M = flat.shape[1]
+    g2 = g.reshape(B, M, C).astype(jnp.bfloat16)
+    # chunk M so the (B, chunk, N) one-hot stays ~<=256 MB bf16
+    chunk = max(128, min(M, (1 << 27) // max(B * N, 1)))
+    while M % chunk:
+        chunk -= 1
+
+    def one(carry, args):
+        idx_c, g_c = args
+        cols = jax.lax.broadcasted_iota(jnp.int32, idx_c.shape + (N,), 2)
+        oh = (cols == idx_c[..., None]).astype(jnp.bfloat16)
+        return carry + jnp.einsum(
+            "bmn,bmc->bnc", oh, g_c, preferred_element_type=jnp.float32
+        ), None
+
+    if chunk >= M:
+        grad_p = one(jnp.zeros((B, N, C), jnp.float32), (flat, g2))[0]
+    else:
+        ic = jnp.moveaxis(flat.reshape(B, M // chunk, chunk), 1, 0)
+        gc = jnp.moveaxis(g2.reshape(B, M // chunk, chunk, C), 1, 0)
+        grad_p, _ = jax.lax.scan(
+            one, jnp.zeros((B, N, C), jnp.float32), (ic, gc))
+    return grad_p.astype(jnp.float32), _np.zeros(idx.shape, jax.dtypes.float0)
+
+
+_gather_mm_bwd.defvjp(_gather_mm_fwd_rule, _gather_mm_bwd_rule)

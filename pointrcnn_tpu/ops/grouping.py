@@ -220,7 +220,16 @@ def group_points(
         return grouped_xyz
     # features may take the fast bf16 one-hot gather path on TPU — they feed
     # (bf16) MLPs, so the rounding is free; geometry stays exact above
-    grouped_feats = gather_points(features, idx, exact=False).astype(dt)
+    N = features.shape[1]
+    if jax.default_backend() in ("tpu", "axon") and 1024 < N <= 4096:
+        # mid-size tables: XLA-gather forward, transposed-matmul backward
+        # (the scatter-add VJP is the SA2 train bottleneck; see
+        # ops.common._gather_mm_bwd)
+        from pointrcnn_tpu.ops.common import _gather_mm_bwd
+
+        grouped_feats = _gather_mm_bwd(features, idx).astype(dt)
+    else:
+        grouped_feats = gather_points(features, idx, exact=False).astype(dt)
     if use_xyz:
         return jnp.concatenate([grouped_xyz, grouped_feats], axis=-1)
     return grouped_feats

@@ -14,21 +14,68 @@ import jax
 import jax.numpy as jnp
 
 
-def furthest_point_sample(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:
+def furthest_point_sample(
+    xyz: jnp.ndarray, npoint: int, method: str = "exact"
+) -> jnp.ndarray:
     """``xyz``: (B, N, 3) -> (B, npoint) int32 indices.
 
-    Deterministic: the first selected index is 0 (matching the CUDA kernel).
-    Dispatches to the Pallas kernel (ops.pallas_fps) for the large scene-level
-    problem shape on TPU; the XLA loop handles small/roi-level shapes (where
-    the batch is large and the per-kernel sequential grid would serialise it).
+    ``method="exact"`` — the CUDA greedy semantics: first selected index is 0,
+    then npoint-1 sequential max-min-distance iterations.  Dispatches to the
+    Pallas kernel (ops.pallas_fps) for the large scene-level problem shape on
+    TPU; the XLA loop handles small/roi-level shapes (where the batch is
+    large and the per-kernel sequential grid would serialise it).
+
+    ``method="blockwise"`` — two-level approximation: each batch row is
+    sorted by depth (z), split into ``s`` contiguous *spatial bands* of equal
+    point count, and exact greedy FPS runs independently per band for
+    npoint/s picks.  The sequential chain shrinks from npoint to npoint/s
+    iterations while each iteration does the same (B, N)-cells of vector
+    work, so the kernel is ~s× faster.  The z-sort matters: bands own
+    disjoint territories, so their FPS picks cannot duplicate each other
+    (independent *random* stripes waste ~40% of the centroid budget on
+    cross-stripe near-duplicates), and equal-count bands allocate centroids
+    proportionally to point density — measured fg-point coverage at the SA1
+    radii is slightly *better* than exact FPS on clustered scenes
+    (tools/ab_approximations.py kernel_fps_coverage).
     """
+    if method not in ("exact", "blockwise"):
+        raise ValueError(f"fps method must be 'exact'|'blockwise', got {method!r}")
     B, N, _ = xyz.shape
+    if method == "blockwise":
+        s = _blockwise_stripes(N, npoint)
+        if s > 1:
+            Ns = N // s
+            perm = jnp.argsort(xyz[..., 2], axis=1).astype(jnp.int32)  # (B, N)
+            xs = jnp.take_along_axis(xyz, perm[..., None], axis=1)
+            sub = furthest_point_sample(
+                xs.reshape(B * s, Ns, 3), npoint // s, method="exact"
+            )  # (B*s, npoint/s) of band-local indices
+            stripe = jnp.arange(B * s, dtype=jnp.int32)[:, None] % s
+            sorted_idx = (sub + stripe * Ns).reshape(B, npoint)
+            return jnp.take_along_axis(perm, sorted_idx, axis=1)
+        # too small to stripe: exact is already cheap
     if jax.default_backend() in ("tpu", "axon") and N % 128 == 0:
         from pointrcnn_tpu.ops.pallas_fps import MAX_CELLS, furthest_point_sample_pallas
 
         if B * N <= MAX_CELLS:
             return furthest_point_sample_pallas(xyz, npoint)
     return _fps_xla(xyz, npoint)
+
+
+def _blockwise_stripes(N: int, npoint: int) -> int:
+    """Largest power-of-two stripe count s.t. stripes keep >=1024 points
+    (quality floor: each stripe must still see the whole scene densely),
+    divide npoint evenly, and stay Pallas-tileable (N/s % 128 == 0)."""
+    s = 1
+    while (
+        s < 16
+        and N % (2 * s) == 0
+        and npoint % (2 * s) == 0
+        and N // (2 * s) >= 1024
+        and (N // (2 * s)) % 128 == 0
+    ):
+        s *= 2
+    return s
 
 
 def _fps_xla(xyz: jnp.ndarray, npoint: int) -> jnp.ndarray:

@@ -147,6 +147,53 @@ def test_fps_spread():
     assert d_fps < d_prefix
 
 
+def test_fps_blockwise_semantics_and_quality():
+    """Blockwise FPS == exact per-band FPS over equal-count z-bands (indices
+    mapped back through the z-sort), and its coverage radius stays within
+    1.5x of exact greedy FPS on uniform data."""
+    rng = np.random.RandomState(2)
+    N, npoint = 4096, 512
+    xyz = rng.uniform(-40, 40, (2, N, 3)).astype(np.float32)
+
+    from pointrcnn_tpu.ops.sampling import _blockwise_stripes
+
+    s = _blockwise_stripes(N, npoint)
+    assert s > 1
+    got = np.asarray(
+        furthest_point_sample(jnp.asarray(xyz), npoint, method="blockwise")
+    )
+    Ns, nps = N // s, npoint // s
+    for b in range(2):
+        perm = np.argsort(xyz[b, :, 2], kind="stable")
+        xs = xyz[b][perm]
+        for j in range(s):
+            band_idx = got[b, j * nps : (j + 1) * nps]
+            want_local = np_fps(xs[j * Ns : (j + 1) * Ns].astype(np.float64), nps)
+            np.testing.assert_array_equal(band_idx, perm[want_local + j * Ns])
+            # every pick lies inside its band's z-range
+            zlo, zhi = xs[j * Ns, 2], xs[(j + 1) * Ns - 1, 2]
+            assert ((xyz[b, band_idx, 2] >= zlo) & (xyz[b, band_idx, 2] <= zhi)).all()
+        assert len(np.unique(got[b])) == npoint
+
+    exact = np.asarray(furthest_point_sample(jnp.asarray(xyz), npoint))
+
+    def cover(pts, idx):
+        sel = pts[idx]
+        d = np.linalg.norm(pts[:, None] - sel[None], axis=-1)
+        return d.min(axis=1).max()
+
+    for b in range(2):
+        assert cover(xyz[b], got[b]) < 1.5 * cover(xyz[b], exact[b])
+
+
+def test_fps_blockwise_small_n_falls_back_exact():
+    rng = np.random.RandomState(3)
+    xyz = rng.randn(2, 512, 3).astype(np.float32)  # < 2*1024: no striping
+    a = np.asarray(furthest_point_sample(jnp.asarray(xyz), 64, method="blockwise"))
+    b = np.asarray(furthest_point_sample(jnp.asarray(xyz), 64, method="exact"))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_ball_query_exact_matches_oracle():
     rng = np.random.RandomState(2)
     xyz = rng.randn(1, 256, 3).astype(np.float32) * 2
@@ -182,6 +229,30 @@ def test_ball_query_empty_rows():
     new_xyz = jnp.full((1, 4, 3), 100.0)
     idx = np.asarray(ball_query(xyz, new_xyz, 0.5, 8))
     np.testing.assert_array_equal(idx, 0)
+
+
+def test_gather_mm_bwd_matches_xla_gather_vjp():
+    """The transposed-matmul gather VJP (ops.common._gather_mm_bwd) must
+    produce the same forward and the same feature gradients (to bf16
+    rounding) as the XLA gather it replaces on the SA2 train path."""
+    from pointrcnn_tpu.ops.common import _gather_mm_bwd
+
+    rng = np.random.RandomState(4)
+    B, N, C, S, K = 2, 256, 24, 64, 8
+    pts = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, N, (B, S, K)).astype(np.int32))
+
+    out = _gather_mm_bwd(pts, idx)
+    want = jnp.take_along_axis(pts, idx.reshape(B, -1)[..., None], axis=1)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(want).reshape(B, S, K, C))
+
+    cot = rng.randn(B, S, K, C).astype(np.float32)
+    g_mm = jax.grad(lambda p: (_gather_mm_bwd(p, idx) * cot).sum())(pts)
+    g_ref = jax.grad(lambda p: (
+        jnp.take_along_axis(p, idx.reshape(B, -1)[..., None], axis=1)
+        .reshape(B, S, K, C) * cot).sum())(pts)
+    np.testing.assert_allclose(np.asarray(g_mm), np.asarray(g_ref),
+                               rtol=2e-2, atol=2e-2)
 
 
 def test_group_points_relative_coords():

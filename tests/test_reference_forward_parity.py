@@ -122,6 +122,8 @@ def _exact_cfg(cfg_frozen, extra=()):
     return merge_from_list(cfg_frozen, [
         "RPN.BALL_QUERY_METHOD", "exact",
         "RCNN.BALL_QUERY_METHOD", "exact",
+        "RPN.FPS_METHOD", "exact",
+        "RCNN.FPS_METHOD", "exact",
         # f32-vs-f32 comparison: bf16 is a TPU throughput choice, not part of
         # the reference semantics being pinned here
         "COMPUTE_DTYPE", "float32",

@@ -54,6 +54,43 @@ def make_scene(rng, n=16384, n_cars=12):
     return pts[perm], np.array(boxes, np.float32)
 
 
+def kernel_fps_coverage(batch_pts):
+    """FPS exact vs blockwise, measured by what the network actually consumes:
+    the centroid set's coverage of the scene.  A point's geometry reaches the
+    backbone iff some SA1 centroid has it in ball-query range, so the
+    meaningful FPS quality metric is per-radius coverage (fraction of points
+    with >= 1 centroid within r), not centroid-set identity — different
+    centroid sets with equal coverage are equally valid samplings (the
+    blockwise picks are exact FPS picks of iid random subsets).  Also
+    reports the max point->nearest-centroid distance (worst coverage gap).
+    """
+    import jax.numpy as jnp
+
+    from pointrcnn_tpu.ops.sampling import furthest_point_sample
+
+    xyz = jnp.asarray(batch_pts)
+    rows = []
+    idx_e = np.asarray(furthest_point_sample(xyz, 4096, method="exact"))
+    idx_b = np.asarray(furthest_point_sample(xyz, 4096, method="blockwise"))
+    for radius in (0.1, 0.5, 1.0):
+        cov = {}
+        gap = {}
+        for name, idx in (("exact", idx_e), ("blockwise", idx_b)):
+            covered, worst = [], 0.0
+            for b in range(batch_pts.shape[0]):
+                cent = batch_pts[b][idx[b]]
+                d = np.sqrt(
+                    ((batch_pts[b][:, None, :] - cent[None]) ** 2).sum(-1)
+                ).min(axis=1)
+                covered.append((d <= radius).mean())
+                worst = max(worst, float(d.max()))
+            cov[name] = float(np.mean(covered))
+            gap[name] = worst
+        rows.append((radius, cov["exact"], cov["blockwise"],
+                     gap["exact"], gap["blockwise"]))
+    return rows
+
+
 def kernel_ball_query(batch_pts):
     """In-radius recall of approx vs exact ball query, per SA-stage spec."""
     import jax.numpy as jnp
@@ -227,6 +264,12 @@ def pipeline_ab(batch_pts):
                                    "RCNN.BALL_QUERY_METHOD": "exact",
                                    "RCNN.ROIPOOL_METHOD": "exact",
                                    "RPN.NMS_MAX_CANDIDATES": 2048}),
+        "fps_blockwise_only": variant(**{"RPN.BALL_QUERY_METHOD": "exact",
+                                         "RCNN.BALL_QUERY_METHOD": "exact",
+                                         "RCNN.ROIPOOL_METHOD": "exact",
+                                         "RPN.NMS_MAX_CANDIDATES": 9000,
+                                         "RPN.FPS_METHOD": "blockwise"}),
+        "default_fps_blockwise": variant(**{"RPN.FPS_METHOD": "blockwise"}),
     }
 
     batch = {"pts_input": jnp.asarray(batch_pts)}
@@ -317,6 +360,11 @@ def main():
         batch_boxes[i, :b.shape[0]] = b
 
     print(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+    print("\n== FPS: centroid coverage of the scene (4096 of 16384) ==")
+    for radius, ce, cb, ge, gb in kernel_fps_coverage(batch_pts):
+        print(f"  r={radius:4.1f}  coverage exact {ce:.4f} vs blockwise {cb:.4f}"
+              f"   worst gap {ge:.3f} vs {gb:.3f} m")
+
     print("\n== ball query: distinct in-radius hits captured (recall) ==")
     for spec, r_exact, r_approx in kernel_ball_query(batch_pts):
         print(f"  {spec:26s}  exact {r_exact:.4f}   approx {r_approx:.4f}")
