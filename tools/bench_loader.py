@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--scenes", type=int, default=32)
     ap.add_argument("--points", type=int, default=120_000)
     ap.add_argument("--gt-aug", action="store_true", default=True)
+    ap.add_argument("--processes", action="store_true",
+                    help="fork process-pool workers (the reference DataLoader "
+                         "shape) instead of the GIL-releasing thread pool")
     args = ap.parse_args()
 
     from kitti_fixture import make_mini_kitti
@@ -58,6 +61,7 @@ def main():
             loader = DataLoader(
                 ds, batch_size=args.batch_size, shuffle=True,
                 num_workers=workers, drop_last=False,
+                use_processes=args.processes,
             )
             # warm one batch (file cache, lazy imports)
             next(iter(loader))
