@@ -516,6 +516,84 @@ def do_eval(gt_annos, dt_annos, current_classes, min_overlaps, compute_aos=False
     return mAP_bbox, mAP_bev, mAP_3d, mAP_aos
 
 
+def filter_annos_low_score(image_annos, thresh):
+    """(reference kitti_common.py:190-201)."""
+    out = []
+    for anno in image_annos:
+        keep = [i for i, s in enumerate(anno["score"]) if s >= thresh]
+        out.append({k: v[keep] for k, v in anno.items()})
+    return out
+
+
+def do_coco_style_eval(gt_annos, dt_annos, current_classes, overlap_ranges,
+                       compute_aos):
+    """AP averaged over a linspace of overlap thresholds
+    (reference eval.py:590-606).  overlap_ranges: (3, metric, class)."""
+    min_overlaps = np.zeros([10, *overlap_ranges.shape[1:]])
+    for i in range(overlap_ranges.shape[1]):
+        for j in range(overlap_ranges.shape[2]):
+            lo, hi, n = overlap_ranges[:, i, j]
+            min_overlaps[:, i, j] = np.linspace(lo, hi, int(n))
+    mAP_bbox, mAP_bev, mAP_3d, mAP_aos = do_eval(
+        gt_annos, dt_annos, current_classes, min_overlaps, compute_aos)
+    mAP_bbox = mAP_bbox.mean(-1)
+    mAP_bev = mAP_bev.mean(-1)
+    mAP_3d = mAP_3d.mean(-1)
+    if mAP_aos is not None:
+        mAP_aos = mAP_aos.mean(-1)
+    return mAP_bbox, mAP_bev, mAP_3d, mAP_aos
+
+
+def get_coco_eval_result(gt_annos, dt_annos, current_classes):
+    """COCO-style AP@[lo:hi] sweep (reference eval.py:681-740)."""
+    class_to_name = {0: "Car", 1: "Pedestrian", 2: "Cyclist", 3: "Van",
+                     4: "Person_sitting"}
+    class_to_range = {0: [0.5, 0.95, 10], 1: [0.25, 0.7, 10],
+                      2: [0.25, 0.7, 10], 3: [0.5, 0.95, 10],
+                      4: [0.25, 0.7, 10]}
+    name_to_class = {v: n for n, v in class_to_name.items()}
+    if not isinstance(current_classes, (list, tuple)):
+        current_classes = [current_classes]
+    current_classes = [
+        name_to_class[c] if isinstance(c, str) else c for c in current_classes
+    ]
+    overlap_ranges = np.zeros([3, 3, len(current_classes)])
+    for i, curcls in enumerate(current_classes):
+        overlap_ranges[:, :, i] = np.array(class_to_range[curcls])[:, np.newaxis]
+
+    compute_aos = False
+    for anno in dt_annos:
+        if anno["alpha"].shape[0] != 0:
+            if anno["alpha"][0] != -10:
+                compute_aos = True
+            break
+
+    mAPbbox, mAPbev, mAP3d, mAPaos = do_coco_style_eval(
+        gt_annos, dt_annos, current_classes, overlap_ranges, compute_aos)
+
+    result = sysio.StringIO()
+    ret_dict = {}
+    for j, curcls in enumerate(current_classes):
+        o_range = np.array(class_to_range[curcls])[[0, 2, 1]]
+        o_range[1] = (o_range[2] - o_range[0]) / (o_range[1] - 1)
+        name = class_to_name[curcls]
+        print("{} coco AP@{:.2f}:{:.2f}:{:.2f}:".format(name, *o_range),
+              file=result)
+        print(f"bbox AP:{mAPbbox[j, 0]:.2f}, {mAPbbox[j, 1]:.2f}, "
+              f"{mAPbbox[j, 2]:.2f}", file=result)
+        print(f"bev  AP:{mAPbev[j, 0]:.2f}, {mAPbev[j, 1]:.2f}, "
+              f"{mAPbev[j, 2]:.2f}", file=result)
+        print(f"3d   AP:{mAP3d[j, 0]:.2f}, {mAP3d[j, 1]:.2f}, "
+              f"{mAP3d[j, 2]:.2f}", file=result)
+        if compute_aos:
+            print(f"aos  AP:{mAPaos[j, 0]:.2f}, {mAPaos[j, 1]:.2f}, "
+                  f"{mAPaos[j, 2]:.2f}", file=result)
+        ret_dict[f"{name}_coco_3d_easy"] = mAP3d[j, 0]
+        ret_dict[f"{name}_coco_3d_moderate"] = mAP3d[j, 1]
+        ret_dict[f"{name}_coco_3d_hard"] = mAP3d[j, 2]
+    return result.getvalue(), ret_dict
+
+
 def get_official_eval_result(gt_annos, dt_annos, current_classes):
     """(reference eval.py:608-678)."""
     overlap_0_7 = np.array(

@@ -129,11 +129,14 @@ def make_mini_kitti(root, num_samples=4, n_points=4000, seed=0, split="train",
             # (near-deterministic network inputs for convergence tests)
             z = rng.uniform(8.0, 60.0, n_bg)
             pts[:n_bg, 0] = rng.uniform(-0.85, 0.85, n_bg) * z * 600.0 / 700.0
+            pts[:n_bg, 1] = 1.65 + rng.normal(0, 0.05, n_bg)
             pts[:n_bg, 2] = z
         else:
+            # draw order matters: keep the x, y, z, intensity sequence the
+            # pre-round-4 fixture used so seeded scenes stay bit-identical
             pts[:n_bg, 0] = rng.uniform(-20, 20, n_bg)
+            pts[:n_bg, 1] = 1.65 + rng.normal(0, 0.05, n_bg)
             pts[:n_bg, 2] = rng.uniform(5, 69, n_bg)
-        pts[:n_bg, 1] = 1.65 + rng.normal(0, 0.05, n_bg)
         pts[:n_bg, 3] = rng.rand(n_bg)
 
         boxes = []

@@ -88,13 +88,23 @@ def test_train_and_eval_cli(env, monkeypatch):
     run_tool(
         monkeypatch, "eval",
         ["--cfg_file", TINY_CFG, "--eval_mode", "rpn", "--data_root", root,
-         "--batch_size", "2", "--ckpt", os.path.join(rpn_dir, "ckpt"),
+         "--batch_size", "2", "--ckpt_dir", os.path.join(rpn_dir, "ckpt"),
          "--eval_all", "--output_dir", all_dir, "--workers", "1"],
     )
     log = open(os.path.join(all_dir, "log_eval.txt")).read()
     assert "epoch 1:" in log
     tb_dir = os.path.join(all_dir, "tensorboard_val")
     assert os.path.isdir(tb_dir) and os.listdir(tb_dir), "no eval tb scalars"
+
+    # --extra_tag nests the output dir (reference eval_rcnn.py:738-739)
+    tag_dir = os.path.join(out, "eval_tagged")
+    run_tool(
+        monkeypatch, "eval",
+        ["--cfg_file", TINY_CFG, "--eval_mode", "rpn", "--data_root", root,
+         "--batch_size", "2", "--ckpt", rpn_ckpt, "--extra_tag", "try2",
+         "--output_dir", tag_dir, "--workers", "1"],
+    )
+    assert os.path.isfile(os.path.join(tag_dir, "try2", "log_eval.txt"))
 
     with pytest.raises(AssertionError, match="no checkpoints"):
         run_tool(

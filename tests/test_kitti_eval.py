@@ -319,6 +319,59 @@ def test_official_ap_matches_reference_eval_code():
             rtol=0, atol=1e-6, err_msg=k)
 
 
+def test_coco_ap_matches_reference_eval_code(monkeypatch):
+    """get_coco_eval_result / do_coco_style_eval parity against the
+    reference's OWN eval.py (eval.py:590-606, 681-740): identical averaged
+    AP over the overlap-threshold linspace."""
+    import copy
+
+    # numpy>=1.20 compat shim: the reference unpacks a float64 count into
+    # np.linspace (eval.py:593-596), accepted by the numpy of its era
+    real_linspace = np.linspace
+    monkeypatch.setattr(
+        np, "linspace",
+        lambda lo, hi, num=50, **kw: real_linspace(lo, hi, int(num), **kw))
+
+    ref = _load_reference_eval()
+    rng = np.random.RandomState(321)
+    gt_annos, dt_annos = _random_annos(rng, n_frames=60)
+
+    ref_str = ref.get_coco_eval_result(
+        copy.deepcopy(gt_annos), copy.deepcopy(dt_annos), ["Car"])
+    our_str, our_ret = kitti_eval.get_coco_eval_result(
+        copy.deepcopy(gt_annos), copy.deepcopy(dt_annos), ["Car"])
+    # the reference returns only the formatted string; its numbers are
+    # %.2f-rounded — compare the numeric lines verbatim
+    ref_lines = [l.strip() for l in ref_str.strip().splitlines()]
+    our_lines = [l.strip() for l in our_str.strip().splitlines()]
+    assert ref_lines == our_lines, (ref_lines, our_lines)
+
+    # and the unrounded arrays via do_coco_style_eval
+    overlap_ranges = np.zeros([3, 3, 1])
+    overlap_ranges[:, :, 0] = np.array([0.5, 0.95, 10])[:, None]
+    ref_vals = ref.do_coco_style_eval(
+        copy.deepcopy(gt_annos), copy.deepcopy(dt_annos), [0],
+        overlap_ranges, True)
+    our_vals = kitti_eval.do_coco_style_eval(
+        copy.deepcopy(gt_annos), copy.deepcopy(dt_annos), [0],
+        overlap_ranges, True)
+    for rv, ov, name in zip(ref_vals, our_vals, ("bbox", "bev", "3d", "aos")):
+        np.testing.assert_allclose(ov, rv, rtol=0, atol=1e-6, err_msg=name)
+
+
+def test_filter_annos_low_score():
+    rng = np.random.RandomState(5)
+    _, dt_annos = _random_annos(rng, n_frames=8)
+    thresh = 0.5
+    kept = kitti_eval.filter_annos_low_score(
+        [dict(a) for a in dt_annos], thresh)
+    for orig, new in zip(dt_annos, kept):
+        mask = orig["score"] >= thresh
+        assert (new["score"] >= thresh).all()
+        assert len(new["score"]) == int(mask.sum())
+        np.testing.assert_array_equal(new["bbox"], orig["bbox"][mask])
+
+
 def test_label_parser_matches_reference_kitti_common(tmp_path):
     """get_label_anno(s) parity with the reference's kitti_common.py
     (result-txt parsing feeds the AP evaluator; reference

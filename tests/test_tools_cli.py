@@ -26,6 +26,45 @@ def run_tool(monkeypatch, module_name, argv):
     mod.main()
 
 
+def test_evaluate_cli(kitti_root, tmp_path, monkeypatch, capsys):
+    """Standalone AP evaluator CLI (reference kitti_object_eval_python/
+    evaluate.py): official and --coco modes, --score_thresh filtering —
+    self-eval of the labels as detections must score AP 100 / near-max."""
+    label_dir = os.path.join(kitti_root, "KITTI", "object", "training", "label_2")
+    split = os.path.join(kitti_root, "KITTI", "ImageSets", "val.txt")
+    # fabricate a result dir: the gt labels themselves with a score column
+    result_dir = str(tmp_path / "results")
+    os.makedirs(result_dir)
+    for name in os.listdir(label_dir):
+        lines = []
+        for line in open(os.path.join(label_dir, name)):
+            p = line.split()
+            if p[0] == "DontCare":
+                continue
+            lines.append(" ".join(p[:15]) + " 0.9")
+        with open(os.path.join(result_dir, name), "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+    # NOTE: with only 6 gt the official protocol fills just 6 of its 41
+    # recall points (get_thresholds adds one per TP when recall advances
+    # >= 1/40), so perfect self-detections quantize to 2/11 = 18.18 — the
+    # same property the AP-gate fixture sizes around (tools/ap_gate.py)
+    base = ["--label_path", label_dir, "--result_path", result_dir,
+            "--label_split_file", split]
+    run_tool(monkeypatch, "evaluate", base)
+    out = capsys.readouterr().out
+    assert "bbox AP:18.1818" in out and "3d   AP:18.1818" in out
+
+    run_tool(monkeypatch, "evaluate", base + ["--coco"])
+    out = capsys.readouterr().out
+    assert "coco AP@0.50:0.05:0.95" in out and "3d   AP:18.18" in out
+
+    # threshold above every score: all detections filtered, AP collapses
+    run_tool(monkeypatch, "evaluate", base + ["--score_thresh", "0.95"])
+    out = capsys.readouterr().out
+    assert "3d   AP:0.0000" in out
+
+
 def test_generate_gt_database(kitti_root, tmp_path, monkeypatch):
     save_dir = str(tmp_path / "gtdb")
     run_tool(

@@ -70,7 +70,9 @@ def main():
     model = PointRCNN(cfg=cfg, mode="TRAIN")
     tx = build_optimizer(cfg, total_steps=100, steps_per_epoch=10)
     state = create_train_state(model, cfg, batch, tx)
-    step = make_train_step(model, cfg, tx, donate=False)
+    # donate like the real Trainer does (train/trainer.py) — the benched
+    # step should be the production step
+    step = make_train_step(model, cfg, tx)
 
     key = jax.random.PRNGKey(0)
     for _ in range(3):

@@ -37,6 +37,16 @@ def parse_args():
     p.add_argument("--rcnn_ckpt", type=str, default=None,
                    help="restore only the RCNN subtree from this checkpoint")
     p.add_argument("--eval_all", action="store_true")
+    p.add_argument("--extra_tag", type=str, default="default",
+                   help="extra tag appended to the output dir for multiple "
+                        "evaluations of one config (reference eval_rcnn.py:40,"
+                        "738-739)")
+    p.add_argument("--ckpt_dir", type=str, default=None,
+                   help="checkpoint directory for --eval_all (reference "
+                        "eval_rcnn.py:42; defaults to --ckpt)")
+    # --random_select exists in the reference CLI (eval_rcnn.py:48) but is
+    # action='store_true' with default=True — it can never be disabled from
+    # the command line, so the fixed-shape eval path here matches exactly
     p.add_argument("--start_epoch", type=int, default=0,
                    help="with --eval_all: skip checkpoints whose epoch is "
                         "below this (reference eval_rcnn.py:49, 795)")
@@ -222,6 +232,13 @@ def main():
     cfg = merge_from_list(cfg, overrides)
 
     tag = os.path.splitext(os.path.basename(args.cfg_file))[0]
+    if args.extra_tag != "default":
+        # nest ALL outputs (log + result trees via args.output_dir) under the
+        # tag (reference eval_rcnn.py:738-739)
+        args.output_dir = os.path.join(
+            args.output_dir or os.path.join("output", args.eval_mode, tag),
+            args.extra_tag,
+        )
     log_dir = args.output_dir or os.path.join("output", args.eval_mode, tag)
     logger = create_logger(os.path.join(log_dir, "log_eval.txt"), "eval")
     from pointrcnn_tpu.utils.snapshot import backup_source
@@ -239,12 +256,12 @@ def main():
         )
         evaluated: set[int] = set()
         while True:
-            ckpts = [c for c in list_checkpoints(args.ckpt)
+            ckpts = [c for c in list_checkpoints(args.ckpt_dir or args.ckpt)
                      if c[0] not in evaluated and c[0] >= args.start_epoch]
             if not ckpts and not args.wait:
                 assert evaluated, (
-                    f"no checkpoints under {args.ckpt} with epoch >= "
-                    f"{args.start_epoch}"
+                    f"no checkpoints under {args.ckpt_dir or args.ckpt} "
+                    f"with epoch >= {args.start_epoch}"
                 )
                 break
             for epoch, path in ckpts:

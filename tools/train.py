@@ -26,6 +26,12 @@ def parse_args():
                    help="rpn proposal txts for offline rcnn training")
     p.add_argument("--rcnn_training_feature_dir", type=str, default=None,
                    help="rpn feature npys for offline rcnn training")
+    p.add_argument("--rcnn_eval_roi_dir", type=str, default=None,
+                   help="val-split rpn proposal txts for --train_with_eval in "
+                        "rcnn_offline mode (reference train_rcnn.py:44-46)")
+    p.add_argument("--rcnn_eval_feature_dir", type=str, default=None,
+                   help="val-split rpn feature npys for --train_with_eval in "
+                        "rcnn_offline mode")
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--epochs", type=int, default=200)
     p.add_argument("--workers", type=int, default=None,
@@ -131,6 +137,8 @@ def main():
         val_set = KittiRCNNDataset(
             args.data_root, cfg, npoints=cfg.RPN.NUM_POINTS, split=cfg.TRAIN.VAL_SPLIT,
             mode="EVAL", classes=cfg.CLASSES, logger=logger,
+            rcnn_eval_roi_dir=args.rcnn_eval_roi_dir,
+            rcnn_eval_feature_dir=args.rcnn_eval_feature_dir,
         )
         val_loader = DataLoader(val_set, batch_size=args.batch_size, num_workers=args.workers,
                                 use_processes=args.worker_processes)
