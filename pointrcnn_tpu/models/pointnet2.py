@@ -45,22 +45,35 @@ class SetAbstractionMSG(nn.Module):
     def __call__(self, xyz, features, train: bool = False, bn_momentum=0.1):
         """xyz: (B, N, 3); features: (B, N, C) or None ->
         (new_xyz (B, npoint, 3), new_features (B, npoint, sum(mlp[-1])))."""
-        fps_idx = furthest_point_sample(xyz, self.npoint, method=self.fps_method)
-        new_xyz = gather_points(xyz, fps_idx)
         specs = tuple(zip(self.radii, self.nsamples))
 
         if features is None and self.use_xyz and self.query_method == "approx":
-            # xyz-only stage: the fused ball-query kernel emits the grouped
+            # xyz-only stage: the fused ball-query kernels emit the grouped
             # relative coordinates directly — no neighborhood gather at all
+            from pointrcnn_tpu.ops.grouping import (
+                fps_group_banded,
+                fps_group_banded_supported,
+            )
             from pointrcnn_tpu.ops.pallas_ballquery import (
                 ball_query_multi_grouped_pallas,
                 ball_query_pallas_supported,
             )
 
-            if ball_query_pallas_supported(
-                xyz.shape[1], new_xyz.shape[1], max(self.nsamples)
+            rels = new_xyz = None
+            if self.fps_method == "blockwise" and fps_group_banded_supported(
+                xyz.shape[1], self.npoint, self.nsamples
             ):
+                # blockwise FPS already z-bands the scene; the banded query
+                # searches each centroid's band ±1 instead of all N points
+                new_xyz, rels = fps_group_banded(xyz, self.npoint, specs)
+            elif ball_query_pallas_supported(
+                xyz.shape[1], self.npoint, max(self.nsamples)
+            ):
+                fps_idx = furthest_point_sample(
+                    xyz, self.npoint, method=self.fps_method)
+                new_xyz = gather_points(xyz, fps_idx)
                 rels = ball_query_multi_grouped_pallas(xyz, new_xyz, specs)
+            if rels is not None:
                 dt = self.dtype or xyz.dtype
                 outs = [
                     SharedMLP(tuple(mlp), bn=self.bn, dtype=self.dtype)(
@@ -69,6 +82,9 @@ class SetAbstractionMSG(nn.Module):
                     for rel, mlp in zip(rels, self.mlps)
                 ]
                 return new_xyz, jnp.concatenate(outs, axis=-1)
+
+        fps_idx = furthest_point_sample(xyz, self.npoint, method=self.fps_method)
+        new_xyz = gather_points(xyz, fps_idx)
 
         idx_list = ball_query_multi(
             xyz, new_xyz, specs,

@@ -235,6 +235,45 @@ def group_points(
     return grouped_feats
 
 
+def fps_group_banded_supported(N: int, npoint: int, nsamples) -> bool:
+    from pointrcnn_tpu.ops.pallas_ballquery import ball_query_banded_supported
+    from pointrcnn_tpu.ops.sampling import _blockwise_stripes
+
+    s = _blockwise_stripes(N, npoint)
+    return s > 1 and ball_query_banded_supported(N, npoint, max(nsamples), s)
+
+
+def fps_group_banded(xyz: jnp.ndarray, npoint: int, specs):
+    """Blockwise z-banded FPS + banded grouped ball query, sharing ONE z-sort.
+
+    The xyz-only SA stage (RPN stage 1) needs centroids + per-radius relative
+    neighborhood coordinates.  With FPS_METHOD='blockwise' the points are
+    z-sorted into equal-count depth bands anyway; keeping the sorted table
+    lets the ball query restrict each centroid chunk's candidate search to
+    its own band ±1 (Pallas kernel ball_query_multi_grouped_banded) — the
+    full-N stride scan was the single hottest op of the train step.
+
+    Returns (new_xyz (B, npoint, 3), [rel (B, npoint, ns_i, 3) per spec]);
+    ``new_xyz`` is bit-identical (same picks, same order) to
+    furthest_point_sample(method='blockwise') + gather_points.
+    """
+    from pointrcnn_tpu.ops.pallas_ballquery import ball_query_multi_grouped_banded
+    from pointrcnn_tpu.ops.sampling import _blockwise_stripes, furthest_point_sample
+
+    B, N, _ = xyz.shape
+    s = _blockwise_stripes(N, npoint)
+    Ns = N // s
+    perm = jnp.argsort(xyz[..., 2], axis=1).astype(jnp.int32)
+    xs = jnp.take_along_axis(xyz, perm[..., None], axis=1)
+    sub = furthest_point_sample(xs.reshape(B * s, Ns, 3), npoint // s,
+                                method="exact")
+    stripe = jnp.arange(B * s, dtype=jnp.int32)[:, None] % s
+    sorted_idx = (sub + stripe * Ns).reshape(B, npoint)
+    new_xyz = jnp.take_along_axis(xs, sorted_idx[..., None], axis=1)
+    rels = ball_query_multi_grouped_banded(xs, new_xyz, specs, s)
+    return new_xyz, rels
+
+
 def three_nn(unknown: jnp.ndarray, known: jnp.ndarray, chunk: int = 2048):
     """3 nearest neighbors of each unknown point among the known points.
 

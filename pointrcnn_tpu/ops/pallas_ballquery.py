@@ -146,6 +146,172 @@ def _ball_query_pallas(cent: jnp.ndarray, known_t: jnp.ndarray, kmax: int,
     return dist2, idx, rel
 
 
+def _make_banded_kernel(Ns: int, kmax: int, n_bands: int, cpb: int,
+                        chunk: int, emit_rel: bool):
+    """Banded variant: the point table is z-sorted and the centroids are
+    band-ordered (``cpb`` per equal-count depth band — the blockwise-FPS
+    layout), so a chunk of centroids only searches its own band ±1 (three
+    (3, Ns) table blocks) instead of the full N columns: w = 3*Ns/_W strides
+    instead of N/_W.  Candidates from a clamped (duplicated) edge band are
+    masked out, so no point can occupy two selection slots."""
+    w = Ns // _W
+
+    def kernel(cent_ref, ktp_ref, ktc_ref, ktn_ref, out_ref):
+        c = cent_ref[0]
+        chunk_rows = c.shape[0]
+        cx, cy, cz = c[:, 0:1], c[:, 1:2], c[:, 2:3]
+        col = jax.lax.broadcasted_iota(jnp.int32, (chunk_rows, _W), 1)
+
+        band = (pl.program_id(1) * chunk) // cpb
+        prev_ok = band > 0
+        next_ok = band < n_bands - 1
+        base_prev = jnp.maximum(band - 1, 0)
+        base_next = jnp.minimum(band + 1, n_bands - 1)
+
+        v = jnp.full((chunk_rows, _W), _BIG, jnp.float32)
+        g = jnp.zeros((chunk_rows, _W), jnp.int32)
+        if emit_rel:
+            gx = jnp.zeros((chunk_rows, _W), jnp.float32)
+            gy = jnp.zeros((chunk_rows, _W), jnp.float32)
+            gz = jnp.zeros((chunk_rows, _W), jnp.float32)
+
+        for ref, base, ok in (
+            (ktp_ref, base_prev, prev_ok),
+            (ktc_ref, band, True),
+            (ktn_ref, base_next, next_ok),
+        ):
+            pen = jnp.float32(0.0) if ok is True else jnp.where(ok, 0.0, _BIG)
+            for j in range(w):
+                kt = ref[0, :, j * _W : (j + 1) * _W]
+                d2 = (
+                    jnp.square(cx - kt[0:1, :])
+                    + jnp.square(cy - kt[1:2, :])
+                    + jnp.square(cz - kt[2:3, :])
+                ) + pen
+                upd = d2 < v
+                gidx = base * Ns + j * _W + col
+                g = jnp.where(upd, gidx, g)
+                v = jnp.where(upd, d2, v)
+                if emit_rel:
+                    gx = jnp.where(upd, jnp.broadcast_to(kt[0:1, :], (chunk_rows, _W)), gx)
+                    gy = jnp.where(upd, jnp.broadcast_to(kt[1:2, :], (chunk_rows, _W)), gy)
+                    gz = jnp.where(upd, jnp.broadcast_to(kt[2:3, :], (chunk_rows, _W)), gz)
+
+        # ascending k-extraction — identical to _make_kernel
+        gf = g.astype(jnp.float32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (chunk_rows, kmax), 1)
+        out_d = jnp.zeros((chunk_rows, kmax), jnp.float32)
+        out_i = jnp.zeros((chunk_rows, kmax), jnp.float32)
+        if emit_rel:
+            out_x = jnp.zeros((chunk_rows, kmax), jnp.float32)
+            out_y = jnp.zeros((chunk_rows, kmax), jnp.float32)
+            out_z = jnp.zeros((chunk_rows, kmax), jnp.float32)
+        for k in range(kmax):
+            m = jnp.min(v, axis=1, keepdims=True)
+            wcol = jnp.min(jnp.where(v == m, col, 2**30), axis=1, keepdims=True)
+            at_w = col == wcol
+            win = jnp.min(jnp.where(at_w, gf, _BIG), axis=1, keepdims=True)
+            sel = lane == k
+            out_d = out_d + jnp.where(sel, m, 0.0)
+            out_i = out_i + jnp.where(sel, win, 0.0)
+            if emit_rel:
+                wx = jnp.min(jnp.where(at_w, gx, _BIG), axis=1, keepdims=True)
+                wy = jnp.min(jnp.where(at_w, gy, _BIG), axis=1, keepdims=True)
+                wz = jnp.min(jnp.where(at_w, gz, _BIG), axis=1, keepdims=True)
+                out_x = out_x + jnp.where(sel, wx - cx, 0.0)
+                out_y = out_y + jnp.where(sel, wy - cy, 0.0)
+                out_z = out_z + jnp.where(sel, wz - cz, 0.0)
+            v = jnp.where(at_w, _BIG, v)
+
+        parts = [out_d, out_i]
+        if emit_rel:
+            parts += [out_x, out_y, out_z]
+        out_ref[0] = jnp.concatenate(parts, axis=1)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("kmax", "n_bands", "emit_rel"))
+def _ball_query_pallas_banded(cent, known_t, kmax: int, n_bands: int,
+                              emit_rel: bool = True):
+    """cent: (B, S, 3) band-ordered; known_t: (B, 3, N) z-sorted columns."""
+    B, S, _ = cent.shape
+    N = known_t.shape[2]
+    Ns = N // n_bands
+    cpb = S // n_bands
+    chunk = 128
+    while S % chunk or cpb % chunk:
+        chunk //= 2
+    width = (2 + 3 * emit_rel) * kmax
+    band_of = lambda s: (s * chunk) // cpb
+    packed = pl.pallas_call(
+        _make_banded_kernel(Ns, kmax, n_bands, cpb, chunk, emit_rel),
+        grid=(B, S // chunk),
+        in_specs=[
+            pl.BlockSpec((1, chunk, 3), lambda b, s: (b, s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, Ns),
+                         lambda b, s: (b, 0, jnp.maximum(band_of(s) - 1, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, Ns), lambda b, s: (b, 0, band_of(s)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, Ns),
+                         lambda b, s: (b, 0, jnp.minimum(band_of(s) + 1,
+                                                         n_bands - 1)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, chunk, width), lambda b, s: (b, s, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, S, width), jnp.float32),
+        interpret=_INTERPRET,
+    )(cent, known_t, known_t, known_t)
+    dist2 = packed[..., :kmax]
+    idx = packed[..., kmax : 2 * kmax].astype(jnp.int32)
+    if not emit_rel:
+        return dist2, idx
+    rel = jnp.stack(
+        [packed[..., 2 * kmax + i * kmax : 2 * kmax + (i + 1) * kmax]
+         for i in range(3)],
+        axis=-1,
+    )
+    return dist2, idx, rel
+
+
+def ball_query_banded_supported(N: int, S: int, kmax: int, n_bands: int) -> bool:
+    if not (jax.default_backend() in ("tpu", "axon") or _INTERPRET):
+        return False
+    if n_bands < 2 or N % n_bands or S % n_bands:
+        return False
+    Ns, cpb = N // n_bands, S // n_bands
+    chunk = 128
+    while (S % chunk or cpb % chunk) and chunk > 1:
+        chunk //= 2
+    return Ns % _W == 0 and Ns // _W >= 1 and kmax <= 128 and chunk >= 8
+
+
+def ball_query_multi_grouped_banded(xs, new_xyz, specs, n_bands: int):
+    """Banded ball query + xyz-only grouping on a z-SORTED table ``xs`` with
+    band-ordered centroids (the blockwise-FPS layout).  Same output contract
+    as ball_query_multi_grouped_pallas; only the candidate search is
+    restricted to each centroid's depth band ±1 (in-radius recall parity
+    measured in tools/ab_approximations.py kernel_ball_query_banded)."""
+    kmax = max(ns for _, ns in specs)
+    known_t = jnp.transpose(xs.astype(jnp.float32), (0, 2, 1))
+    cent = new_xyz.astype(jnp.float32)
+    dist2, idx, rel = _ball_query_pallas_banded(
+        cent, known_t, kmax, n_bands, emit_rel=True)
+    rel0 = xs[:, 0:1, None, :] - new_xyz[:, :, None, :]
+    outs = []
+    for radius, nsample in specs:
+        r2 = jnp.float32(radius) ** 2
+        in_r = (dist2[..., :nsample] < r2)[..., None]
+        r = rel[..., :nsample, :]
+        first = r[..., 0:1, :]
+        any_hit = in_r[..., 0:1, :]
+        outs.append(jnp.where(in_r, r, jnp.where(any_hit, first, rel0)))
+    return outs
+
+
 def ball_query_pallas_supported(N: int, S: int, kmax: int) -> bool:
     return (
         jax.default_backend() in ("tpu", "axon")

@@ -107,3 +107,64 @@ def test_ball_query_grouped_emission():
         # which cannot happen here since each centroid IS a point -> d2=0)
         np.testing.assert_array_less(
             (rel ** 2).sum(-1), radius ** 2 + 1e-4)
+
+
+def test_banded_ball_query_contract_and_fps_consistency():
+    """The z-banded fused FPS+group path (ops.grouping.fps_group_banded):
+    centroid set/order bit-identical to furthest_point_sample('blockwise') +
+    gather, emitted rels are true in-radius neighbors, and in-radius recall
+    matches the full-scan grouped kernel on band-friendly data."""
+    from pointrcnn_tpu.ops import sampling
+    from pointrcnn_tpu.ops.grouping import (
+        fps_group_banded,
+        fps_group_banded_supported,
+    )
+
+    rng = np.random.RandomState(5)
+    B, N, npoint = 2, 4096, 1024
+    xyz = np.zeros((B, N, 3), np.float32)
+    xyz[..., 0] = rng.uniform(-20, 20, (B, N))
+    xyz[..., 1] = rng.uniform(-1, 2, (B, N))
+    xyz[..., 2] = rng.uniform(0, 60, (B, N))
+
+    assert fps_group_banded_supported(N, npoint, (8, 16))
+    specs = ((1.0, 8), (2.0, 16))
+    new_xyz, rels = fps_group_banded(jnp.asarray(xyz), npoint, specs)
+    new_xyz = np.asarray(new_xyz)
+
+    idx = np.asarray(sampling.furthest_point_sample(
+        jnp.asarray(xyz), npoint, method="blockwise"))
+    want = np.take_along_axis(xyz, idx[..., None], axis=1)
+    np.testing.assert_array_equal(new_xyz, want)
+
+    for (radius, k), rel in zip(specs, rels):
+        rel = np.asarray(rel)
+        assert rel.shape == (B, npoint, k, 3)
+        # every emitted offset is within the ball...
+        np.testing.assert_array_less((rel ** 2).sum(-1), radius ** 2 + 1e-4)
+        # ...and lands exactly on a real point of the cloud
+        pts = new_xyz[:, :, None, :] + rel  # (B, npoint, k, 3)
+        for b in range(B):
+            flat = pts[b].reshape(-1, 3)[:: max(1, (npoint * k) // 64)]
+            d = np.abs(flat[:, None, :] - xyz[b][None]).sum(-1).min(1)
+            assert d.max() < 1e-4, d.max()
+
+    # distinct in-radius neighbors captured: banded vs full-scan kernel
+    from pointrcnn_tpu.ops.pallas_ballquery import (
+        ball_query_multi_grouped_pallas,
+    )
+
+    full = ball_query_multi_grouped_pallas(jnp.asarray(xyz), jnp.asarray(new_xyz), specs)
+    for (radius, k), rel_b, rel_f in zip(specs, rels, full):
+        def distinct(rel):
+            rel = np.asarray(rel)
+            cnt = []
+            for b in range(B):
+                for s in range(0, npoint, npoint // 32):
+                    r = rel[b, s]
+                    r = r[(r ** 2).sum(-1) < radius ** 2 - 1e-6]
+                    cnt.append(len(np.unique(np.round(r, 4), axis=0)))
+            return np.array(cnt)
+        db, df = distinct(rel_b), distinct(rel_f)
+        # banded recall within 2% of the full scan on average
+        assert db.mean() >= 0.98 * df.mean(), (db.mean(), df.mean())

@@ -126,6 +126,54 @@ def kernel_ball_query(batch_pts):
     return rows
 
 
+def kernel_ball_query_banded(batch_pts):
+    """In-radius recall of the z-banded fused FPS+group path (SA1) vs the
+    full-scan grouped kernel on clustered scenes.  The banded query searches
+    each centroid's equal-count depth band +-1 only; a neighbor is lost iff
+    it lies >1 band away in z yet inside the radius — possible only when a
+    band's z-extent is smaller than the radius (at SA1's r<=0.5 m each of
+    the 16 equal-count bands spans meters of depth)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pointrcnn_tpu.ops import pallas_ballquery as pb
+    from pointrcnn_tpu.ops.grouping import (
+        fps_group_banded,
+        fps_group_banded_supported,
+    )
+
+    n, npoint, specs = batch_pts.shape[1], 4096, ((0.1, 16), (0.5, 32))
+    was_interpret = pb._INTERPRET
+    if jax.default_backend() not in ("tpu", "axon"):
+        # CPU run: interpret mode at a reduced shape
+        pb._INTERPRET = True
+        batch_pts = batch_pts[:2, ::4]
+        n, npoint = n // 4, 1024
+    try:
+        assert fps_group_banded_supported(n, npoint, tuple(k for _, k in specs))
+        xyz = jnp.asarray(batch_pts)
+        new_xyz, rels_b = fps_group_banded(xyz, npoint, specs)
+        rels_f = pb.ball_query_multi_grouped_pallas(xyz, new_xyz, specs)
+
+        rows = []
+        for (radius, k), rb, rf in zip(specs, rels_b, rels_f):
+            def distinct(rel):
+                rel = np.asarray(rel)
+                m = (rel ** 2).sum(-1) < radius ** 2 - 1e-6
+                tot = 0
+                for b in range(rel.shape[0]):
+                    for s in range(0, rel.shape[1],
+                                   max(1, rel.shape[1] // 256)):
+                        tot += len(np.unique(
+                            np.round(rel[b, s][m[b, s]], 4), axis=0))
+                return tot
+            db, df = distinct(rb), distinct(rf)
+            rows.append((f"r={radius} k={k}", db / max(df, 1)))
+        return rows
+    finally:
+        pb._INTERPRET = was_interpret
+
+
 def kernel_roipool(batch_pts, batch_boxes):
     import jax
     import jax.numpy as jnp
@@ -368,6 +416,10 @@ def main():
     print("\n== ball query: distinct in-radius hits captured (recall) ==")
     for spec, r_exact, r_approx in kernel_ball_query(batch_pts):
         print(f"  {spec:26s}  exact {r_exact:.4f}   approx {r_approx:.4f}")
+
+    print("\n== z-banded ball query: in-radius recall vs full scan (SA1) ==")
+    for spec, ratio in kernel_ball_query_banded(batch_pts):
+        print(f"  {spec:26s}  banded/full distinct-hit ratio {ratio:.4f}")
 
     print("\n== roipool3d: pooled point-set agreement (512 pts/roi) ==")
     same, diff, empty_eq = kernel_roipool(batch_pts, batch_boxes)
