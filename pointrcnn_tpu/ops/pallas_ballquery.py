@@ -15,9 +15,15 @@ expensive part of the backbone after FPS.  This kernel never leaves VMEM:
   minima by ``kmax`` masked min-reductions, ascending in distance.
 
 Selection is approximate in exactly the way the default XLA path already is
-(a class keeps only its nearest member): with W = 512 classes and k <= 32
-the expected number of true-top-k collisions is C(k,2)/W < 1, i.e. recall
-~0.97 — at or above the approx_min_k recall_target of 0.95 used before.
+(a class keeps only its nearest member): with W classes and k neighbors the
+expected number of true-top-k collisions is C(k,2)/W — ~1 at W=512, k=32
+(recall ~0.97, at or above the approx_min_k recall_target of 0.95 used
+before; measured 1.00 on clustered scenes at every W in {128..2048},
+tools/ab_approximations.py).  On-chip sweep (v5e, SA1 banded 16384->4096 and
+full-scan 4096x1024): W=512 is fastest at every measured shape — narrower W
+shortens the k-extraction sweeps but the (chunk, W) class-minima fold
+dominates and lays out best at 4x128 lanes — so ``_pick_w`` prefers 512 and
+only halves for divisibility of small candidate pools.
 In-radius masking and CUDA-compatible backfill (repeat first hit, zeros when
 empty — reference Pointnet2.PyTorch ball_query semantics) happen outside on
 the tiny (B, S, k) result.
@@ -38,11 +44,32 @@ from jax.experimental.pallas import tpu as pltpu
 # interpret mode for CPU-side CI (tests monkeypatch this)
 _INTERPRET = False
 
-_W = 512  # stride classes = selection candidates per centroid
+_W = 512  # default stride-class count (full-scan path; see _pick_w)
 _BIG = 3.0e38  # python float: jnp scalars would be captured consts in the kernel
 
 
-def _make_kernel(N: int, kmax: int, w: int, emit_rel: bool):
+def _pick_w(candidates: int, kmax: int) -> int:
+    """Stride-class count for a candidate pool of the given size.
+
+    512 measured fastest at every benchmarked shape (see module docstring)
+    and keeps top-k collision loss ~<=1 expected point for k <= 45, so the
+    only reason to narrow is divisibility: pools that aren't a multiple of
+    512 (but are of 128 — callers guarantee that) halve down until they
+    divide.  POINTRCNN_BQ_W=<n> forces a width (the on-chip A/B sweep hook,
+    tools/ab_approximations.py kernel_ball_query[_banded]).
+    """
+    import os
+
+    forced = int(os.environ.get("POINTRCNN_BQ_W", "0"))
+    if forced:
+        return min(forced, candidates)
+    W = min(_W, candidates)
+    while candidates % W:
+        W //= 2
+    return W
+
+
+def _make_kernel(N: int, kmax: int, w: int, emit_rel: bool, _W: int):
     def kernel(cent_ref, kt_ref, out_ref):
         """cent_ref: (1, chunk, 3); kt_ref: (1, 3, N); out_ref:
         (1, chunk, (2 + 3*emit_rel)*kmax) packed
@@ -111,9 +138,9 @@ def _make_kernel(N: int, kmax: int, w: int, emit_rel: bool):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("kmax", "emit_rel"))
+@functools.partial(jax.jit, static_argnames=("kmax", "emit_rel", "W"))
 def _ball_query_pallas(cent: jnp.ndarray, known_t: jnp.ndarray, kmax: int,
-                       emit_rel: bool = False):
+                       emit_rel: bool = False, W: int = _W):
     B, S, _ = cent.shape
     N = known_t.shape[2]
     chunk = 128
@@ -121,7 +148,7 @@ def _ball_query_pallas(cent: jnp.ndarray, known_t: jnp.ndarray, kmax: int,
         chunk //= 2
     width = (2 + 3 * emit_rel) * kmax
     packed = pl.pallas_call(
-        _make_kernel(N, kmax, N // _W, emit_rel),
+        _make_kernel(N, kmax, N // W, emit_rel, W),
         grid=(B, S // chunk),
         in_specs=[
             pl.BlockSpec((1, chunk, 3), lambda b, s: (b, s, 0),
@@ -147,7 +174,7 @@ def _ball_query_pallas(cent: jnp.ndarray, known_t: jnp.ndarray, kmax: int,
 
 
 def _make_banded_kernel(Ns: int, kmax: int, n_bands: int, cpb: int,
-                        chunk: int, emit_rel: bool):
+                        chunk: int, emit_rel: bool, _W: int):
     """Banded variant: the point table is z-sorted and the centroids are
     band-ordered (``cpb`` per equal-count depth band — the blockwise-FPS
     layout), so a chunk of centroids only searches its own band ±1 (three
@@ -231,9 +258,10 @@ def _make_banded_kernel(Ns: int, kmax: int, n_bands: int, cpb: int,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("kmax", "n_bands", "emit_rel"))
+@functools.partial(jax.jit,
+                   static_argnames=("kmax", "n_bands", "emit_rel", "W"))
 def _ball_query_pallas_banded(cent, known_t, kmax: int, n_bands: int,
-                              emit_rel: bool = True):
+                              emit_rel: bool = True, W: int = _W):
     """cent: (B, S, 3) band-ordered; known_t: (B, 3, N) z-sorted columns."""
     B, S, _ = cent.shape
     N = known_t.shape[2]
@@ -245,7 +273,7 @@ def _ball_query_pallas_banded(cent, known_t, kmax: int, n_bands: int,
     width = (2 + 3 * emit_rel) * kmax
     band_of = lambda s: (s * chunk) // cpb
     packed = pl.pallas_call(
-        _make_banded_kernel(Ns, kmax, n_bands, cpb, chunk, emit_rel),
+        _make_banded_kernel(Ns, kmax, n_bands, cpb, chunk, emit_rel, W),
         grid=(B, S // chunk),
         in_specs=[
             pl.BlockSpec((1, chunk, 3), lambda b, s: (b, s, 0),
@@ -286,7 +314,7 @@ def ball_query_banded_supported(N: int, S: int, kmax: int, n_bands: int) -> bool
     chunk = 128
     while (S % chunk or cpb % chunk) and chunk > 1:
         chunk //= 2
-    return Ns % _W == 0 and Ns // _W >= 1 and kmax <= 128 and chunk >= 8
+    return Ns % 128 == 0 and kmax <= 128 and chunk >= 8
 
 
 def ball_query_multi_grouped_banded(xs, new_xyz, specs, n_bands: int):
@@ -299,7 +327,8 @@ def ball_query_multi_grouped_banded(xs, new_xyz, specs, n_bands: int):
     known_t = jnp.transpose(xs.astype(jnp.float32), (0, 2, 1))
     cent = new_xyz.astype(jnp.float32)
     dist2, idx, rel = _ball_query_pallas_banded(
-        cent, known_t, kmax, n_bands, emit_rel=True)
+        cent, known_t, kmax, n_bands, emit_rel=True,
+        W=_pick_w(xs.shape[1] // n_bands, kmax))
     rel0 = xs[:, 0:1, None, :] - new_xyz[:, :, None, :]
     outs = []
     for radius, nsample in specs:
@@ -315,8 +344,8 @@ def ball_query_multi_grouped_banded(xs, new_xyz, specs, n_bands: int):
 def ball_query_pallas_supported(N: int, S: int, kmax: int) -> bool:
     return (
         jax.default_backend() in ("tpu", "axon")
-        and N % _W == 0
-        and N // _W >= 4  # below this the XLA path is already cheap
+        and N % 128 == 0
+        and N >= 2048  # below this the XLA path is already cheap
         and kmax <= 128
         and S % 8 == 0
     )
@@ -329,7 +358,8 @@ def ball_query_pallas(xyz: jnp.ndarray, new_xyz: jnp.ndarray, kmax: int):
     callers apply per-radius masking/backfill on the result.
     """
     known_t = jnp.transpose(xyz.astype(jnp.float32), (0, 2, 1))
-    return _ball_query_pallas(new_xyz.astype(jnp.float32), known_t, kmax)
+    return _ball_query_pallas(new_xyz.astype(jnp.float32), known_t, kmax,
+                              W=_pick_w(xyz.shape[1], kmax))
 
 
 def ball_query_multi_grouped_pallas(xyz, new_xyz, specs):
@@ -350,7 +380,9 @@ def ball_query_multi_grouped_pallas(xyz, new_xyz, specs):
     kmax = max(ns for _, ns in specs)
     known_t = jnp.transpose(xyz.astype(jnp.float32), (0, 2, 1))
     cent = new_xyz.astype(jnp.float32)
-    dist2, idx, rel = _ball_query_pallas(cent, known_t, kmax, emit_rel=True)
+    dist2, idx, rel = _ball_query_pallas(
+        cent, known_t, kmax, emit_rel=True,
+        W=_pick_w(xyz.shape[1], kmax))
     # rel of point 0 relative to each centroid: the all-empty fallback
     rel0 = xyz[:, 0:1, None, :] - new_xyz[:, :, None, :]  # (B, S, 1, 3)
     outs = []
