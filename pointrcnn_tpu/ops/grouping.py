@@ -215,6 +215,17 @@ def group_points(
         (QueryAndGroup semantics from the reference pointnet2 lib).
     """
     dt = out_dtype or xyz.dtype
+    if use_xyz and features is not None and dt == jnp.bfloat16:
+        from pointrcnn_tpu.ops.pallas_gather import (
+            group_points_pallas,
+            group_points_pallas_supported,
+        )
+
+        if group_points_pallas_supported(features, idx):
+            # one-hot-in-VMEM MXU gather, fwd + bwd (ops.pallas_gather) —
+            # replaces both the serialized row-gather forward and the
+            # HBM-streamed one-hot backward at the SA2-SA4 train shapes
+            return group_points_pallas(xyz, features, new_xyz, idx)
     grouped_xyz = (gather_points(xyz, idx, exact=True) - new_xyz[:, :, None, :]).astype(dt)
     if features is None:
         return grouped_xyz
