@@ -190,11 +190,13 @@ def default_config() -> ConfigNode:
     # or "exact" (first-nsample-in-point-order, the CUDA semantics)
     rpn.BALL_QUERY_METHOD = "approx"
     # FPS centroid selection: "blockwise" (production default: two-level
-    # stripe FPS, ~4x fewer wall-clock ms at 16384 pts — each of 16 stripes
-    # is an iid random subset whose exact FPS picks spread over the whole
-    # scene; centroid-coverage parity measured in tools/ab_approximations.py)
-    # or "exact" (the CUDA greedy chain; the reference-parity setting, used
-    # by every parity test)
+    # stripe FPS, ~4x fewer wall-clock ms at 16384 pts — the scene is
+    # z-sorted into contiguous equal-count depth bands and exact FPS runs
+    # per band with a proportional budget, so picks stay inside their band
+    # but the bands tile the scene; centroid-coverage parity measured in
+    # tools/ab_approximations.py, AP-level validation in tools/ap_gate.py
+    # --striped) or "exact" (the CUDA greedy chain; the reference-parity
+    # setting, used by every parity test)
     rpn.FPS_METHOD = "blockwise"
     c.RPN = rpn
 

@@ -650,20 +650,24 @@ def get_official_eval_result(gt_annos, dt_annos, current_classes):
                     f"aos  AP:{mAPaos[j, 0, i]:.2f}, {mAPaos[j, 1, i]:.2f}, {mAPaos[j, 2, i]:.2f}",
                     file=result,
                 )
-    name0 = class_to_name[current_classes[0]]
-    ret_dict[f"{name0}_3d_easy"] = mAP3d[0, 0, 0]
-    ret_dict[f"{name0}_3d_moderate"] = mAP3d[0, 1, 0]
-    ret_dict[f"{name0}_3d_hard"] = mAP3d[0, 2, 0]
-    ret_dict[f"{name0}_bev_easy"] = mAPbev[0, 0, 0]
-    ret_dict[f"{name0}_bev_moderate"] = mAPbev[0, 1, 0]
-    ret_dict[f"{name0}_bev_hard"] = mAPbev[0, 2, 0]
-    ret_dict[f"{name0}_image_easy"] = mAPbbox[0, 0, 0]
-    ret_dict[f"{name0}_image_moderate"] = mAPbbox[0, 1, 0]
-    ret_dict[f"{name0}_image_hard"] = mAPbbox[0, 2, 0]
-    if compute_aos and mAPaos is not None:
-        ret_dict[f"{name0}_aos_easy"] = mAPaos[0, 0, 0]
-        ret_dict[f"{name0}_aos_moderate"] = mAPaos[0, 1, 0]
-        ret_dict[f"{name0}_aos_hard"] = mAPaos[0, 2, 0]
+    # per-class AP keys for EVERY evaluated class (multi-class runs — e.g.
+    # CLASSES=People -> Pedestrian + Cyclist — need both asserted; reference
+    # eval.py:608-678 prints every class's table the same way)
+    for i, curcls in enumerate(current_classes):
+        name = class_to_name[curcls]
+        ret_dict[f"{name}_3d_easy"] = mAP3d[i, 0, 0]
+        ret_dict[f"{name}_3d_moderate"] = mAP3d[i, 1, 0]
+        ret_dict[f"{name}_3d_hard"] = mAP3d[i, 2, 0]
+        ret_dict[f"{name}_bev_easy"] = mAPbev[i, 0, 0]
+        ret_dict[f"{name}_bev_moderate"] = mAPbev[i, 1, 0]
+        ret_dict[f"{name}_bev_hard"] = mAPbev[i, 2, 0]
+        ret_dict[f"{name}_image_easy"] = mAPbbox[i, 0, 0]
+        ret_dict[f"{name}_image_moderate"] = mAPbbox[i, 1, 0]
+        ret_dict[f"{name}_image_hard"] = mAPbbox[i, 2, 0]
+        if compute_aos and mAPaos is not None:
+            ret_dict[f"{name}_aos_easy"] = mAPaos[i, 0, 0]
+            ret_dict[f"{name}_aos_moderate"] = mAPaos[i, 1, 0]
+            ret_dict[f"{name}_aos_hard"] = mAPaos[i, 2, 0]
     return result.getvalue(), ret_dict
 
 

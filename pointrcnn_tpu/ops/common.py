@@ -6,6 +6,29 @@ import jax
 import jax.numpy as jnp
 
 
+def split_hilo(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Split f32 coordinates into (hi, lo) bf16 with hi + lo == x to
+    ~|x| * 2^-15 (the two-term bf16 expansion the hi/lo Pallas kernels
+    reconstruct on the MXU).
+
+    ``hi`` is the TRUNCATED bf16 — the top 16 bits of the f32 pattern,
+    obtained by bit-masking rather than the natural
+    ``bf16(x - f32(bf16(x)))`` round-trip: XLA's excess-precision pass
+    treats convert(convert(x, bf16), f32) as the identity on TPU and folds
+    the residual to exactly ZERO (measured on chip, round 5 — the naive
+    form loses the entire lo term, ~half a bf16 ulp ≈ 6 cm at 30 m).  A
+    bitcast+mask cannot be folded.  lo = bf16(x - hi) with |x - hi| <
+    ulp(x), so the bf16 round of the residual costs ≤ |x| * 2^-15.
+    """
+    xf = x.astype(jnp.float32)
+    bits = jax.lax.bitcast_convert_type(xf, jnp.uint32)
+    hi_f32 = jax.lax.bitcast_convert_type(
+        bits & jnp.uint32(0xFFFF0000), jnp.float32)
+    hi = hi_f32.astype(jnp.bfloat16)  # exact: hi_f32 is bf16-representable
+    lo = (xf - hi_f32).astype(jnp.bfloat16)
+    return hi, lo
+
+
 def first_k_in_order(mask: jnp.ndarray, k: int) -> jnp.ndarray:
     """Indices of the first ``k`` True lanes per row, in index order.
 
@@ -154,13 +177,17 @@ def _gather_mm_bwd(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 
 def _gather_mm_fwd_rule(points, idx):
-    return _gather_mm_bwd(points, idx), (idx, jnp.shape(points))
+    # zero-size proxy carries the primal dtype through the residuals
+    # (dtype objects are not pytree leaves)
+    return _gather_mm_bwd(points, idx), (
+        idx, jnp.shape(points), jnp.zeros((0,), points.dtype))
 
 
 def _gather_mm_bwd_rule(res, g):
     import numpy as _np
 
-    idx, pshape = res
+    idx, pshape, pproxy = res
+    pdtype = pproxy.dtype
     B, N, C = pshape
     flat = idx.reshape(B, -1)
     M = flat.shape[1]
@@ -185,7 +212,8 @@ def _gather_mm_bwd_rule(res, g):
         gc = jnp.moveaxis(g2.reshape(B, M // chunk, chunk, C), 1, 0)
         grad_p, _ = jax.lax.scan(
             one, jnp.zeros((B, N, C), jnp.float32), (ic, gc))
-    return grad_p.astype(jnp.float32), _np.zeros(idx.shape, jax.dtypes.float0)
+    # cotangent dtype must match the primal aval (custom_vjp contract)
+    return grad_p.astype(pdtype), _np.zeros(idx.shape, jax.dtypes.float0)
 
 
 _gather_mm_bwd.defvjp(_gather_mm_fwd_rule, _gather_mm_bwd_rule)

@@ -267,8 +267,20 @@ def fps_group_banded(xyz: jnp.ndarray, npoint: int, specs):
     Returns (new_xyz (B, npoint, 3), [rel (B, npoint, ns_i, 3) per spec]);
     ``new_xyz`` is bit-identical (same picks, same order) to
     furthest_point_sample(method='blockwise') + gather_points.
+
+    Structural guard (PARITY deviation #6b): the band +-1 candidate search
+    is complete only while every INTERIOR band's z-extent >= the largest
+    ball radius — a centroid in band i can reach a point in band j >= i+2
+    only by crossing the full extent of band i+1, so extent(i+1) >= r_max
+    makes such points provably out of range.  Band extents are
+    data-dependent (equal-COUNT bands can be arbitrarily thin over a dense
+    z-cluster), so the guard is a runtime ``lax.cond``: thin-band scenes
+    take the full-scan kernel instead of silently dropping true neighbors.
     """
-    from pointrcnn_tpu.ops.pallas_ballquery import ball_query_multi_grouped_banded
+    from pointrcnn_tpu.ops.pallas_ballquery import (
+        ball_query_multi_grouped_banded,
+        ball_query_multi_grouped_pallas,
+    )
     from pointrcnn_tpu.ops.sampling import _blockwise_stripes, furthest_point_sample
 
     B, N, _ = xyz.shape
@@ -281,7 +293,18 @@ def fps_group_banded(xyz: jnp.ndarray, npoint: int, specs):
     stripe = jnp.arange(B * s, dtype=jnp.int32)[:, None] % s
     sorted_idx = (sub + stripe * Ns).reshape(B, npoint)
     new_xyz = jnp.take_along_axis(xs, sorted_idx[..., None], axis=1)
-    rels = ball_query_multi_grouped_banded(xs, new_xyz, specs, s)
+    point0 = xyz[:, 0:1]
+    r_max = max(float(r) for r, _ in specs)
+    z = xs[..., 2]
+    extents = z[:, Ns - 1 :: Ns] - z[:, ::Ns]  # (B, s) per-band z-extent
+    bands_ok = jnp.all(extents[:, 1 : s - 1] >= jnp.float32(r_max))
+    rels = jax.lax.cond(
+        bands_ok,
+        lambda: ball_query_multi_grouped_banded(xs, new_xyz, specs, s,
+                                                point0=point0),
+        lambda: ball_query_multi_grouped_pallas(xs, new_xyz, specs,
+                                                point0=point0),
+    )
     return new_xyz, rels
 
 

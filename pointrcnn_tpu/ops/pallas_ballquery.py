@@ -62,7 +62,20 @@ def _pick_w(candidates: int, kmax: int) -> int:
 
     forced = int(os.environ.get("POINTRCNN_BQ_W", "0"))
     if forced:
-        return min(forced, candidates)
+        # the kernel scans (candidates // W) * W columns, so a W that does
+        # not divide the pool would silently drop tail candidates — halve a
+        # forced width down until it divides (and say so), matching the
+        # default path's rule
+        W = min(forced, candidates)
+        while candidates % W:
+            W //= 2
+        if W != forced:
+            import warnings
+
+            warnings.warn(
+                f"POINTRCNN_BQ_W={forced} does not divide the candidate "
+                f"pool {candidates}; using W={W}")
+        return W
     W = min(_W, candidates)
     while candidates % W:
         W //= 2
@@ -317,19 +330,26 @@ def ball_query_banded_supported(N: int, S: int, kmax: int, n_bands: int) -> bool
     return Ns % 128 == 0 and kmax <= 128 and chunk >= 8
 
 
-def ball_query_multi_grouped_banded(xs, new_xyz, specs, n_bands: int):
+def ball_query_multi_grouped_banded(xs, new_xyz, specs, n_bands: int,
+                                    point0=None):
     """Banded ball query + xyz-only grouping on a z-SORTED table ``xs`` with
     band-ordered centroids (the blockwise-FPS layout).  Same output contract
     as ball_query_multi_grouped_pallas; only the candidate search is
     restricted to each centroid's depth band ±1 (in-radius recall parity
-    measured in tools/ab_approximations.py kernel_ball_query_banded)."""
+    measured in tools/ab_approximations.py kernel_ball_query_banded).
+
+    ``point0``: (B, 1, 3) empty-neighborhood fallback point — pass the
+    ORIGINAL cloud's first point to match ball_query_multi_grouped_pallas
+    (which never sees the z-sort); defaults to the sorted table's first
+    (globally lowest-z) point when the caller has no original ordering."""
     kmax = max(ns for _, ns in specs)
     known_t = jnp.transpose(xs.astype(jnp.float32), (0, 2, 1))
     cent = new_xyz.astype(jnp.float32)
     dist2, idx, rel = _ball_query_pallas_banded(
         cent, known_t, kmax, n_bands, emit_rel=True,
         W=_pick_w(xs.shape[1] // n_bands, kmax))
-    rel0 = xs[:, 0:1, None, :] - new_xyz[:, :, None, :]
+    p0 = xs[:, 0:1] if point0 is None else point0
+    rel0 = p0[:, :, None, :] - new_xyz[:, :, None, :]
     outs = []
     for radius, nsample in specs:
         r2 = jnp.float32(radius) ** 2
@@ -362,7 +382,7 @@ def ball_query_pallas(xyz: jnp.ndarray, new_xyz: jnp.ndarray, kmax: int):
                               W=_pick_w(xyz.shape[1], kmax))
 
 
-def ball_query_multi_grouped_pallas(xyz, new_xyz, specs):
+def ball_query_multi_grouped_pallas(xyz, new_xyz, specs, point0=None):
     """Ball query + xyz-only neighborhood grouping, fused.
 
     For SA stages with no input features (RPN stage 1: the backbone consumes
@@ -371,6 +391,10 @@ def ball_query_multi_grouped_pallas(xyz, new_xyz, specs):
     already holds per candidate class.  Emitting relative coordinates from
     the kernel removes the XLA row-gather entirely (~6 ms/batch-4 at RPN
     stage-1 scale).
+
+    ``point0``: (B, 1, 3) empty-neighborhood fallback point; defaults to
+    ``xyz[:, 0:1]`` (pass the original cloud's first point when ``xyz`` is
+    a reordered view, e.g. the z-sorted table of the banded fallback path).
 
     :return: list over specs of rel_xyz (B, S, nsample, 3) f32 with CUDA
         QueryAndGroup fill semantics (slots past the hit count repeat the
@@ -384,7 +408,8 @@ def ball_query_multi_grouped_pallas(xyz, new_xyz, specs):
         cent, known_t, kmax, emit_rel=True,
         W=_pick_w(xyz.shape[1], kmax))
     # rel of point 0 relative to each centroid: the all-empty fallback
-    rel0 = xyz[:, 0:1, None, :] - new_xyz[:, :, None, :]  # (B, S, 1, 3)
+    p0 = xyz[:, 0:1] if point0 is None else point0
+    rel0 = p0[:, :, None, :] - new_xyz[:, :, None, :]  # (B, S, 1, 3)
     outs = []
     for radius, nsample in specs:
         r2 = jnp.float32(radius) ** 2

@@ -181,6 +181,12 @@ def _bwd_pallas_call(idx, ct, N: int):
 
 
 def group_points_pallas_supported(features, idx) -> bool:
+    import os
+
+    if os.environ.get("POINTRCNN_DISABLE_PALLAS_GATHER"):
+        # A/B hook: falls back to the XLA gather + matmul-VJP path so the
+        # kernel's train-step win stays attributable (tools/bench_train.py)
+        return False
     if not _INTERPRET and jax.default_backend() not in ("tpu", "axon"):
         return False
     if features is None:
@@ -201,9 +207,12 @@ def group_points_pallas(xyz, features, new_xyz, idx):
 
 
 def _pack_table(xyz, features):
+    from pointrcnn_tpu.ops.common import split_hilo
+
     B, N, C = features.shape
-    xhi = xyz.astype(jnp.bfloat16)
-    xlo = (xyz - xhi.astype(jnp.float32)).astype(jnp.bfloat16)
+    # bitmask split — the naive convert round-trip gets folded to lo == 0
+    # by XLA's excess-precision pass on TPU (see split_hilo)
+    xhi, xlo = split_hilo(xyz)
     CT = _ceil128(6 + C)
     parts = [xhi, xlo, features.astype(jnp.bfloat16)]
     if CT > 6 + C:
@@ -215,18 +224,26 @@ def _group_fwd(xyz, features, new_xyz, idx):
     C = features.shape[-1]
     table = _pack_table(xyz, features)
     out = _fwd_pallas(table, idx.astype(jnp.int32), new_xyz.astype(jnp.float32), C)
-    return out, (idx, xyz.shape[1])
+    # zero-size proxies carry the primal dtypes through the residuals
+    # (dtype objects are not pytree leaves)
+    return out, (idx, xyz.shape[1],
+                 (jnp.zeros((0,), xyz.dtype), jnp.zeros((0,), features.dtype),
+                  jnp.zeros((0,), new_xyz.dtype)))
 
 
 def _group_bwd(res, ct):
-    idx, N = res
+    idx, N, proxies = res
+    xyz_dt, feat_dt, cent_dt = (p.dtype for p in proxies)
     dtable, dcent = _bwd_pallas_call(
         idx.astype(jnp.int32), ct.astype(jnp.bfloat16), N)
     # hi/lo lanes carry identical rel cotangents; the lo cast has zero
     # derivative, so dxyz is the rel cotangent scattered once
     dxyz = dtable[..., 0:3]
     dfeatures = dtable[..., 3:]
-    return (dxyz, dfeatures, dcent,
+    # cotangent dtypes must match the primal avals (custom_vjp contract) —
+    # the kernel accumulates f32, so cast back to whatever came in
+    return (dxyz.astype(xyz_dt), dfeatures.astype(feat_dt),
+            dcent.astype(cent_dt),
             np.zeros(idx.shape, jax.dtypes.float0))
 
 

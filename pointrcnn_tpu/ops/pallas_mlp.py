@@ -338,9 +338,12 @@ def _prepare_operands(mode, xyz, features, new_xyz, weights, biases):
         P = P.astype(jnp.bfloat16)
         # hi/lo split so geometry survives the bf16 gather exactly; ONE
         # concatenate builds the whole table (pad + .at[].set would cost
-        # two extra full-tensor HBM rewrites at ~26 MB each)
-        xhi = xyz.astype(jnp.bfloat16)
-        xlo = (xyz - xhi.astype(jnp.float32)).astype(jnp.bfloat16)
+        # two extra full-tensor HBM rewrites at ~26 MB each).  Bitmask
+        # split — XLA's excess-precision pass folds the naive convert
+        # round-trip to lo == 0 on TPU (see ops.common.split_hilo)
+        from pointrcnn_tpu.ops.common import split_hilo
+
+        xhi, xlo = split_hilo(xyz)
         zero_pf = jnp.zeros((B, N, f0p - f0), jnp.bfloat16)
         zero_geo = jnp.zeros((B, N, _GEO - 6), jnp.bfloat16)
         table = jnp.concatenate([P, zero_pf, xhi, xlo, zero_geo], axis=-1)

@@ -36,6 +36,14 @@ def test_two_stage_pipeline_reaches_ap(tmp_path):
     )
     print("ap_gate:", json.dumps({k: round(v, 2) for k, v in ret.items()}))
 
+    # this convergence run IS the multi-device training proof: in the
+    # suite's 8-virtual-device environment, tools/train.py builds a 4-device
+    # data mesh for batch 4 (the largest divisor), so BOTH stages train
+    # hundreds of sharded donated steps — BN stats, OneCycle, checkpointing
+    # all evolving under the mesh — and still hit the AP floors below
+    # (reference analog: --mgpus DataParallel, train_rcnn.py:198-200)
+    assert ret["mesh_devices"] == 4, ret
+
     # proposal stage healthy: every gt found at 0.5 3D IoU pre-refinement
     assert ret["roi_recall_0.5"] >= 0.9, ret
     # refinement lifts localization to 0.7 3D IoU for nearly every gt

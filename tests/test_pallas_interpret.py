@@ -168,3 +168,71 @@ def test_banded_ball_query_contract_and_fps_consistency():
         db, df = distinct(rel_b), distinct(rel_f)
         # banded recall within 2% of the full scan on average
         assert db.mean() >= 0.98 * df.mean(), (db.mean(), df.mean())
+
+
+def test_banded_guard_takes_fallback_on_thin_bands():
+    """Structural guard for the banded ball query (PARITY deviation #6b):
+    equal-count z-bands over a dense z-cluster become thinner than the ball
+    radius, so the band +-1 search would drop true in-radius neighbors >= 2
+    bands away.  fps_group_banded must detect this at runtime (interior band
+    z-extent < r_max) and route to the full-scan kernel instead."""
+    from pointrcnn_tpu.ops import grouping
+    from pointrcnn_tpu.ops.grouping import (
+        fps_group_banded,
+        fps_group_banded_supported,
+    )
+    from pointrcnn_tpu.ops.pallas_ballquery import (
+        ball_query_multi_grouped_banded,
+        ball_query_multi_grouped_pallas,
+    )
+    from pointrcnn_tpu.ops.sampling import _blockwise_stripes
+
+    rng = np.random.RandomState(6)
+    B, N, npoint = 1, 4096, 1024
+    s = _blockwise_stripes(N, npoint)
+    assert s >= 4  # the guard is only load-bearing with interior bands
+
+    # adversarial scene: the whole cloud lives in a 0.2 m z-slab (every
+    # band's extent ~0.05 << r_max) but spreads in x/y, so true in-radius
+    # neighborhoods span MANY z-bands
+    xyz = np.zeros((B, N, 3), np.float32)
+    xyz[..., 0] = rng.uniform(-15, 15, (B, N))
+    xyz[..., 1] = rng.uniform(-1, 1, (B, N))
+    xyz[..., 2] = rng.uniform(0.0, 0.2, (B, N))
+
+    specs = ((1.0, 8), (2.0, 16))
+    assert fps_group_banded_supported(N, npoint, tuple(k for _, k in specs))
+
+    new_xyz, rels = fps_group_banded(jnp.asarray(xyz), npoint, specs)
+    new_xyz_j = jnp.asarray(np.asarray(new_xyz))
+
+    # the fallback path the guard should have taken (same sorted table)
+    perm = np.argsort(xyz[..., 2], axis=1)
+    xs = np.take_along_axis(xyz, perm[..., None], axis=1)
+    full = ball_query_multi_grouped_pallas(
+        jnp.asarray(xs), new_xyz_j, specs, point0=jnp.asarray(xyz[:, 0:1]))
+    banded = ball_query_multi_grouped_banded(
+        jnp.asarray(xs), new_xyz_j, specs, s, point0=jnp.asarray(xyz[:, 0:1]))
+
+    for rel_g, rel_f, rel_b in zip(rels, full, banded):
+        rel_g, rel_f, rel_b = map(np.asarray, (rel_g, rel_f, rel_b))
+        # the guard routed to the full scan...
+        np.testing.assert_array_equal(rel_g, rel_f)
+        # ...and it mattered: the raw banded search finds a different
+        # (poorer) neighbor set on this scene
+        assert not np.array_equal(rel_b, rel_f)
+
+    # sanity: a z-spread scene keeps the banded fast path (bit-equal to the
+    # raw banded kernel, NOT to the full scan)
+    xyz2 = np.zeros((B, N, 3), np.float32)
+    xyz2[..., 0] = rng.uniform(-15, 15, (B, N))
+    xyz2[..., 1] = rng.uniform(-1, 1, (B, N))
+    xyz2[..., 2] = rng.uniform(0, 60, (B, N))
+    new2, rels2 = fps_group_banded(jnp.asarray(xyz2), npoint, specs)
+    perm2 = np.argsort(xyz2[..., 2], axis=1)
+    xs2 = np.take_along_axis(xyz2, perm2[..., None], axis=1)
+    banded2 = ball_query_multi_grouped_banded(
+        jnp.asarray(xs2), jnp.asarray(np.asarray(new2)), specs, s,
+        point0=jnp.asarray(xyz2[:, 0:1]))
+    for rel_g, rel_b in zip(rels2, banded2):
+        np.testing.assert_array_equal(np.asarray(rel_g), np.asarray(rel_b))

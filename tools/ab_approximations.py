@@ -61,7 +61,8 @@ def kernel_fps_coverage(batch_pts):
     meaningful FPS quality metric is per-radius coverage (fraction of points
     with >= 1 centroid within r), not centroid-set identity — different
     centroid sets with equal coverage are equally valid samplings (the
-    blockwise picks are exact FPS picks of iid random subsets).  Also
+    blockwise picks are exact FPS picks inside contiguous equal-count
+    z-bands that tile the scene).  Also
     reports the max point->nearest-centroid distance (worst coverage gap).
     """
     import jax.numpy as jnp

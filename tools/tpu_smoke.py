@@ -191,6 +191,66 @@ def main():
     )
     check("fused fold grad (Pallas bwd)", gerr_f < 8e-2, f"rel {gerr_f:.1e}")
 
+    # 8b) hi/lo split survives XLA's excess-precision pass: the naive
+    # convert-round-trip form got folded to lo == 0 on chip (round 5),
+    # silently costing half a bf16 ulp (~6 cm at 30 m) in every hi/lo
+    # kernel's relative coordinates
+    from pointrcnn_tpu.ops.common import split_hilo
+
+    xs_hl = jnp.asarray(
+        np.random.RandomState(8).uniform(-70, 70, (4096,)).astype(np.float32))
+    hi_hl, lo_hl = jax.jit(split_hilo)(xs_hl)
+    rec = jax.device_get(hi_hl.astype(jnp.float32) + lo_hl.astype(jnp.float32))
+    xs_np = jax.device_get(xs_hl)
+    hl_err = np.abs(rec - xs_np) / np.maximum(np.abs(xs_np), 1e-6)
+    check("split_hilo on chip", float(np.median(np.abs(jax.device_get(lo_hl)))) > 0
+          and hl_err.max() < 2.0 ** -14, f"rel {hl_err.max():.1e}")
+
+    # 9) the BN-train neighborhood gather kernel (ops.pallas_gather) —
+    # the default TPU path for RPN SA2-SA4 grouping under training.  fwd vs
+    # take_along_axis and VJP vs the XLA scatter gradient, at the SA2 train
+    # shape class.
+    from pointrcnn_tpu.ops.pallas_gather import (
+        group_points_pallas, group_points_pallas_supported)
+
+    rng = np.random.RandomState(9)
+    B, N, C, S, K = 4, 4096, 96, 1024, 32
+    xg = jnp.asarray(rng.uniform(-30, 30, (B, N, 3)).astype(np.float32))
+    fg = jnp.asarray(rng.randn(B, N, C).astype(np.float32))
+    nxg = xg[:, :S]
+    ig = jnp.asarray(rng.randint(0, N, (B, S, K)).astype(np.int32))
+    assert group_points_pallas_supported(fg, ig)
+
+    def xla_group(x, f, nx):
+        gx = jnp.take_along_axis(x[:, None].repeat(S, axis=1), ig[..., None], axis=2)
+        gf = jnp.take_along_axis(f[:, None].repeat(S, axis=1), ig[..., None], axis=2)
+        return jnp.concatenate([(gx - nx[:, :, None, :]).astype(jnp.bfloat16),
+                                gf.astype(jnp.bfloat16)], axis=-1)
+
+    got9 = jax.device_get(jax.jit(lambda x, f, nx: group_points_pallas(
+        x, f, nx, ig))(xg, fg, nxg)).astype(np.float32)
+    ref9 = jax.device_get(jax.jit(xla_group)(xg, fg, nxg)).astype(np.float32)
+    feat_ok = np.array_equal(got9[..., 3:], ref9[..., 3:])
+    rel_err9 = np.abs(got9[..., :3] - ref9[..., :3])
+    # one bf16 ulp of the larger magnitude (the two casts may straddle a
+    # power-of-two boundary: ref just under 2^k, got one ulp above)
+    mag9 = np.maximum(np.abs(ref9[..., :3]), np.abs(got9[..., :3]))
+    rel_ok = (rel_err9 <= np.maximum(mag9 * 2.0 ** -7, 30 * 2.0 ** -15)).all()
+    check("pallas_gather fwd", feat_ok and rel_ok,
+          f"rel_max {rel_err9.max():.2e}")
+
+    ct9 = jnp.asarray(rng.randn(B, S, K, 3 + C).astype(np.float32)).astype(
+        jnp.bfloat16).astype(jnp.float32)
+    gp9 = jax.device_get(jax.jit(jax.grad(
+        lambda x, f, nx: jnp.sum(group_points_pallas(
+            x, f, nx, ig).astype(jnp.float32) * ct9), (0, 1, 2)))(xg, fg, nxg))
+    gr9 = jax.device_get(jax.jit(jax.grad(
+        lambda x, f, nx: jnp.sum(xla_group(
+            x, f, nx).astype(jnp.float32) * ct9), (0, 1, 2)))(xg, fg, nxg))
+    gerr9 = max(np.abs(a - b).max() / (np.abs(b).max() + 1e-9)
+                for a, b in zip(gp9, gr9))
+    check("pallas_gather VJP", gerr9 < 1e-4, f"rel {gerr9:.1e}")
+
     print(f"\n{'ALL PASS' if not failures else 'FAILURES: ' + ', '.join(failures)}")
     sys.exit(1 if failures else 0)
 
