@@ -81,7 +81,7 @@ def _pick_chunk(S: int, K: int) -> int:
     return chunk
 
 
-def _make_kernel(n_layers: int, K: int, f0p: int, mode: str):
+def _make_kernel(n_layers: int, K: int, f0p: int, mode: str, bb: int = 1):
     use_xyz = mode == "hilo"
     fold = mode == "fold"
 
@@ -90,6 +90,7 @@ def _make_kernel(n_layers: int, K: int, f0p: int, mode: str):
         p = 0
         table_ref = refs[p]; p += 1
         idx_ref = refs[p]; p += 1
+        cent_ref = w0x_ref = None
         if use_xyz:
             cent_ref = refs[p]; p += 1
             w0x_ref = refs[p]; p += 1
@@ -103,39 +104,60 @@ def _make_kernel(n_layers: int, K: int, f0p: int, mode: str):
         s_chunk = idx_ref.shape[1]
         rows = s_chunk * K
 
-        # one-hot built in (S, K, N) layout: reshaping (S, K) -> (S*K, 1)
-        # would cross the lane dim, which Mosaic cannot shape-cast
-        idx3 = idx_ref[0][:, :, None]  # (s_chunk, K, 1) int32
-        cols3 = jax.lax.broadcasted_iota(jnp.int32, (s_chunk, K, n), 2)
-        oh = (cols3 == idx3).astype(jnp.bfloat16).reshape(rows, n)
+        # bb batch rows per grid step: the per-step fixed cost (pipeline
+        # fill, block semaphores, epilogue) dominates small-shape steps —
+        # measured +14% at the RCNN SA1 shape, reaching the same MXU
+        # utilization as a dense fat matmul (tools/probe_fused_gap.py)
+        for i in range(bb):
+            # one-hot built in (S, K, N) layout: reshaping (S, K) -> (S*K, 1)
+            # would cross the lane dim, which Mosaic cannot shape-cast
+            idx3 = idx_ref[i][:, :, None]  # (s_chunk, K, 1) int32
+            cols3 = jax.lax.broadcasted_iota(jnp.int32, (s_chunk, K, n), 2)
+            oh = (cols3 == idx3).astype(jnp.bfloat16).reshape(rows, n)
 
-        # ONE matmul gathers the commuted layer-1 partials and hi/lo
-        # geometry together
-        g = jnp.dot(oh, table_ref[0], preferred_element_type=jnp.float32)
+            # ONE matmul gathers the commuted layer-1 partials and hi/lo
+            # geometry together
+            g = jnp.dot(oh, table_ref[i], preferred_element_type=jnp.float32)
 
-        x = g[:, :f0p]  # feature half of layer-1 pre-activation
-        if fold:
-            # geometry already folded into the table: subtract c @ w0_xyz
-            x = (x.reshape(s_chunk, K, f0p)
-                 - cent_ref[0][:, None, :]).reshape(rows, f0p)
-        if use_xyz:
-            geo = g[:, f0p:]  # (rows, _GEO): xyz-hi in 0:3, xyz-lo in 3:6
-            rel = (geo.reshape(s_chunk, K, _GEO)
-                   - cent_ref[0][:, None, :]).reshape(rows, _GEO)
-            x = x + jnp.dot(rel.astype(jnp.bfloat16),
-                            w0x_ref[...].astype(jnp.bfloat16),
+            x = g[:, :f0p]  # feature half of layer-1 pre-activation
+            if fold:
+                # geometry already folded into the table: subtract c @ w0_xyz
+                x = (x.reshape(s_chunk, K, f0p)
+                     - cent_ref[i][:, None, :]).reshape(rows, f0p)
+            if use_xyz:
+                geo = g[:, f0p:]  # (rows, _GEO): xyz-hi in 0:3, xyz-lo in 3:6
+                rel = (geo.reshape(s_chunk, K, _GEO)
+                       - cent_ref[i][:, None, :]).reshape(rows, _GEO)
+                x = x + jnp.dot(rel.astype(jnp.bfloat16),
+                                w0x_ref[...].astype(jnp.bfloat16),
+                                preferred_element_type=jnp.float32)
+
+            x = jnp.maximum(x + bs[0][...].astype(jnp.float32), 0.0)
+            for j in range(1, n_layers):
+                x = jnp.dot(x.astype(jnp.bfloat16),
+                            ws[j - 1][...].astype(jnp.bfloat16),
                             preferred_element_type=jnp.float32)
+                x = jnp.maximum(x + bs[j][...].astype(jnp.float32), 0.0)
 
-        x = jnp.maximum(x + bs[0][...].astype(jnp.float32), 0.0)
-        for i in range(1, n_layers):
-            x = jnp.dot(x.astype(jnp.bfloat16), ws[i - 1][...].astype(jnp.bfloat16),
-                        preferred_element_type=jnp.float32)
-            x = jnp.maximum(x + bs[i][...].astype(jnp.float32), 0.0)
-
-        cout = x.shape[-1]
-        out_ref[0] = jnp.max(x.reshape(s_chunk, K, cout), axis=1)
+            cout = x.shape[-1]
+            out_ref[i] = jnp.max(x.reshape(s_chunk, K, cout), axis=1)
 
     return kernel
+
+
+# batch rows folded into one grid step (amortizes the fixed per-step cost;
+# measured on chip with tools/probe_fused_gap.py: +14% at RCNN SA1 — all of
+# it already at bb=2 — and +5% at SA2; larger bb is flat at SA1 and can
+# regress at tiny-table shapes, so 2 is the default)
+_BB_MAX = int(os.environ.get("POINTRCNN_MLP_BB", 2))
+
+
+def _pick_bb(B: int, N: int, CT: int) -> int:
+    bb = min(_BB_MAX, B)
+    # keep the (bb, N, CT) table block comfortably double-bufferable
+    while bb > 1 and (B % bb or bb * N * CT * 2 > (1 << 21)):
+        bb -= 1
+    return bb
 
 
 def _fused_group(table, idx, cent, w0x, ws, bs, mode, f0p):
@@ -144,23 +166,24 @@ def _fused_group(table, idx, cent, w0x, ws, bs, mode, f0p):
     n_layers = 1 + len(ws)
     cout = bs[-1].shape[1]
     chunk_s = _pick_chunk(S, K)
-    grid = (B, S // chunk_s)
+    bb = _pick_bb(B, N, CT)
+    grid = (B // bb, S // chunk_s)
 
     fixed = lambda b, s: (0, 0)
     in_specs = [
-        pl.BlockSpec((1, N, CT), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, chunk_s, K), lambda b, s: (b, s, 0),
+        pl.BlockSpec((bb, N, CT), lambda b, s: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bb, chunk_s, K), lambda b, s: (b, s, 0),
                      memory_space=pltpu.VMEM),
     ]
     operands = [table, idx]
     if mode == "hilo":
-        in_specs.append(pl.BlockSpec((1, chunk_s, _GEO), lambda b, s: (b, s, 0),
+        in_specs.append(pl.BlockSpec((bb, chunk_s, _GEO), lambda b, s: (b, s, 0),
                                      memory_space=pltpu.VMEM))
         operands.append(cent)
         in_specs.append(pl.BlockSpec(w0x.shape, fixed, memory_space=pltpu.VMEM))
         operands.append(w0x)
     elif mode == "fold":
-        in_specs.append(pl.BlockSpec((1, chunk_s, f0p), lambda b, s: (b, s, 0),
+        in_specs.append(pl.BlockSpec((bb, chunk_s, f0p), lambda b, s: (b, s, 0),
                                      memory_space=pltpu.VMEM))
         operands.append(cent)
     for w in ws:
@@ -171,11 +194,11 @@ def _fused_group(table, idx, cent, w0x, ws, bs, mode, f0p):
         operands.append(b)
 
     return pl.pallas_call(
-        _make_kernel(n_layers, K, f0p, mode),
+        _make_kernel(n_layers, K, f0p, mode, bb=bb),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, chunk_s, cout), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM
+            (bb, chunk_s, cout), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, S, cout), jnp.float32),
         interpret=_INTERPRET,

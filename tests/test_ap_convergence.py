@@ -54,3 +54,39 @@ def test_two_stage_pipeline_reaches_ap(tmp_path):
     assert ret["Car_3d_easy"] >= 65.0, ret
     assert ret["Car_bev_easy"] >= 78.0, ret
     assert ret["Car_image_easy"] >= 78.0, ret
+
+
+@pytest.mark.slow
+def test_multiclass_people_pipeline_reaches_ap(tmp_path):
+    """Multi-class (People = Pedestrian + Cyclist) AP gate: the 3-class
+    CrossEntropy head, per-class anchors in the bin codec, per-class NMS /
+    result writing and the per-class official AP tables — the reference's
+    Ped/Cyclist workflow (eval.py:608-678 multi-class AP over the
+    cfgs/*people*.yaml configs).
+
+    Measured on this recipe (round 5): under the suite's 4-device mesh
+    Pedestrian_3d_easy 54.5, Cyclist_3d_easy 54.5, recall@0.7(3D) 0.92,
+    45/48 detections (single-device: 45.5 / 54.5 / 0.81 / 40).  The
+    11-point protocol quantizes these fixture APs to multiples of ~9.09
+    (100/11), so the floors below sit at least one quantization notch under
+    the measured values — a single lost recall decile fails them.
+    """
+    import ap_gate
+
+    ret = ap_gate.run_gate(
+        str(tmp_path / "work"), rpn_epochs=250, rcnn_epochs=150,
+        num_samples=24, batch_size=4, cfg_file=ap_gate.AP_CFG_PEOPLE,
+        classes=("Pedestrian", "Cyclist"),
+    )
+    print("ap_gate(people):", json.dumps({k: round(v, 2) for k, v in ret.items()}))
+
+    # both stages trained under the 4-device data mesh (8-virtual-device env)
+    assert ret["mesh_devices"] == 4, ret
+    # refinement localizes most gt of BOTH classes to 0.7 3D IoU
+    assert ret["recall_0.7"] >= 0.70, ret
+    assert ret["final_total"] >= 32, ret
+    # per-class official AP through the multi-class writer/evaluator chain
+    assert ret["Pedestrian_3d_easy"] >= 40.0, ret
+    assert ret["Cyclist_3d_easy"] >= 45.0, ret
+    assert ret["Pedestrian_bev_easy"] >= 40.0, ret
+    assert ret["Cyclist_bev_easy"] >= 45.0, ret
