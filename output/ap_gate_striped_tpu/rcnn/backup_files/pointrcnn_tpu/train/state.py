@@ -1,0 +1,91 @@
+"""Train state and jitted train/eval steps.
+
+Replaces the reference Trainer._train_it (tools/train_utils/train_utils.py:
+128-138): forward + loss + backward + clip + step fused into ONE jitted,
+batch-sharded XLA program per step.  BatchNorm running stats ride along as
+``batch_stats`` collection; BN momentum is a per-epoch runtime scalar
+(see optimizer.bn_momentum_for_epoch).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import flax
+import optax
+
+from pointrcnn_tpu.train.loss import model_loss
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def create_train_state(model, cfg, sample_batch, tx, seed: int = 0,
+                       train: bool = True) -> TrainState:
+    rngs = {
+        "params": jax.random.PRNGKey(seed),
+        "dropout": jax.random.PRNGKey(seed + 1),
+        "target": jax.random.PRNGKey(seed + 2),
+    }
+    variables = jax.jit(model.init, static_argnames="train")(rngs, sample_batch, train=train)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+    )
+
+
+def make_train_step(model, cfg, tx, donate: bool = True):
+    """Build the jitted train step: (state, batch, rng, bn_momentum) ->
+    (state, metrics)."""
+
+    def step_fn(state: TrainState, batch: dict, rng, bn_momentum):
+        rng_dropout, rng_target = jax.random.split(jax.random.fold_in(rng, state.step))
+
+        def loss_fn(params):
+            out, mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch,
+                train=True,
+                bn_momentum=bn_momentum,
+                rngs={"dropout": rng_dropout, "target": rng_target},
+                mutable=["batch_stats"],
+            )
+            loss, tb = model_loss(cfg, out, batch)
+            return loss, (mutated["batch_stats"], tb)
+
+        grads, (new_stats, tb) = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+        )
+        tb["grad_norm"] = optax.global_norm(grads)
+        return new_state, tb
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model):
+    def eval_fn(state: TrainState, batch: dict):
+        return model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch,
+            train=False,
+        )
+
+    return jax.jit(eval_fn)
