@@ -105,8 +105,10 @@ def get_rcnn_loss(cfg, rcnn_cls, rcnn_reg, target: dict):
         logits = rcnn_cls.reshape(cls_label.shape[0], -1)
         tgt = jnp.clip(cls_label.astype(jnp.int32), 0, logits.shape[1] - 1)
         logp = jax.nn.log_softmax(logits, axis=-1)
-        nll = -jnp.take_along_axis(logp, tgt[:, None], axis=1)[:, 0]
-        w = jnp.asarray(cfg.RCNN.CLS_WEIGHT)[tgt]
+        nll = -losses._select_bin(logp, tgt)
+        w = losses._select_bin(
+            jnp.broadcast_to(jnp.asarray(cfg.RCNN.CLS_WEIGHT), logp.shape), tgt
+        )
         valid = (cls_label >= 0).astype(nll.dtype)
         rcnn_loss_cls = jnp.sum(nll * w * valid) / jnp.clip(jnp.sum(valid), 1.0, None)
     else:

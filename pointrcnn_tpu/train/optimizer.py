@@ -11,9 +11,55 @@ train_rcnn.py:106-107), and global-norm gradient clipping
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 import optax
+
+
+class ClipRecordState(NamedTuple):
+    grad_norm: jnp.ndarray  # pre-clip global norm of the last update
+
+
+def clip_by_global_norm_recording(max_norm: float) -> optax.GradientTransformation:
+    """optax.clip_by_global_norm with the pre-clip norm kept in state.
+
+    Bit-identical update math to optax 0.2.6's clip_by_global_norm (same
+    global_norm, same trigger/select form); the recorded norm lets the train
+    step log ``grad_norm`` without a second global_norm pass — on this
+    backend the 106-leaf norm reduction costs ~7.5 ms (tools/probe_loss_opt
+    .py), so computing it once instead of twice is a real step-time win.
+    """
+
+    def init_fn(params):
+        del params
+        return ClipRecordState(grad_norm=jnp.zeros((), jnp.float32))
+
+    def update_fn(updates, state, params=None):
+        del params
+        g_norm = optax.global_norm(updates)
+        trigger = jnp.squeeze(g_norm < max_norm)
+
+        def clip_fn(t):
+            return jax.lax.select(trigger, t, (t / g_norm.astype(t.dtype)) * max_norm)
+
+        updates = jax.tree_util.tree_map(clip_fn, updates)
+        return updates, ClipRecordState(grad_norm=g_norm.astype(jnp.float32))
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def recorded_grad_norm(opt_state) -> jnp.ndarray | None:
+    """Pull the pre-clip grad norm recorded by clip_by_global_norm_recording
+    out of a (possibly chained) optax state; None if no recording clip."""
+    for leaf in jax.tree_util.tree_leaves(
+        opt_state, is_leaf=lambda x: isinstance(x, ClipRecordState)
+    ):
+        if isinstance(leaf, ClipRecordState):
+            return leaf.grad_norm
+    return None
 
 
 def annealing_cos(start: float, end: float, pct):
@@ -75,7 +121,7 @@ def bn_momentum_for_epoch(cfg, epoch: int) -> float:
 
 def build_optimizer(cfg, total_steps: int, steps_per_epoch: int) -> optax.GradientTransformation:
     t = cfg.TRAIN
-    clip = optax.clip_by_global_norm(t.GRAD_NORM_CLIP)
+    clip = clip_by_global_norm_recording(t.GRAD_NORM_CLIP)
 
     if t.OPTIMIZER == "adam_onecycle":
         lr = onecycle_schedule(total_steps, t.LR, t.DIV_FACTOR, t.PCT_START)

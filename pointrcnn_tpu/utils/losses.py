@@ -19,6 +19,20 @@ def _masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(x * mask) / jnp.clip(jnp.sum(mask), 1.0, None)
 
 
+def _select_bin(mat: jnp.ndarray, bin_idx: jnp.ndarray) -> jnp.ndarray:
+    """Row-wise ``mat[i, bin_idx[i]]`` as a one-hot compare-reduce.
+
+    Bit-exact replacement for ``take_along_axis(mat, bin_idx[:, None], 1)``
+    for in-range indices (every caller computes bins via clip+floor).  This
+    backend lowers take_along_axis to a serialized per-row gather (~2.5 ms
+    per site at B*N=262144 in the RPN loss — measured, tools/probe_loss_opt2
+    .py); the compare-reduce fuses into the surrounding elementwise work.
+    """
+    width = mat.shape[-1]
+    oh = bin_idx[..., None] == jnp.arange(width, dtype=bin_idx.dtype)
+    return jnp.sum(jnp.where(oh, mat, 0), axis=-1)
+
+
 def sigmoid_cross_entropy_with_logits(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     """TF-style elementwise sigmoid CE (reference loss_utils.py:76-84)."""
     return jnp.clip(logits, 0.0, None) - logits * labels + jnp.log1p(jnp.exp(-jnp.abs(logits)))
@@ -73,7 +87,7 @@ def smooth_l1(pred: jnp.ndarray, target: jnp.ndarray, beta: float = 1.0) -> jnp.
 def _masked_softmax_ce(logits: jnp.ndarray, label: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Cross-entropy over integer labels, mean over masked rows."""
     logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, label[:, None], axis=1)[:, 0]
+    nll = -_select_bin(logp, label)
     return _masked_mean(nll, mask)
 
 
@@ -126,8 +140,8 @@ def get_reg_loss(
         start = z_res_r
         x_res_label = (x_shift - (x_bin.astype(x_shift.dtype) * loc_bin_size + loc_bin_size / 2)) / loc_bin_size
         z_res_label = (z_shift - (z_bin.astype(z_shift.dtype) * loc_bin_size + loc_bin_size / 2)) / loc_bin_size
-        x_res_pred = jnp.take_along_axis(pred_reg[:, x_res_l:x_res_r], x_bin[:, None], axis=1)[:, 0]
-        z_res_pred = jnp.take_along_axis(pred_reg[:, z_res_l:z_res_r], z_bin[:, None], axis=1)[:, 0]
+        x_res_pred = _select_bin(pred_reg[:, x_res_l:x_res_r], x_bin)
+        z_res_pred = _select_bin(pred_reg[:, z_res_l:z_res_r], z_bin)
         loss_x_res = _masked_mean(smooth_l1(x_res_pred, x_res_label), fg)
         loss_z_res = _masked_mean(smooth_l1(z_res_pred, z_res_label), fg)
         d["loss_x_res"], d["loss_z_res"] = loss_x_res, loss_z_res
@@ -141,7 +155,7 @@ def get_reg_loss(
         y_shift = jnp.clip(y_off + loc_y_scope, 0.0, loc_y_scope * 2 - 1e-3)
         y_bin = jnp.floor(y_shift / loc_y_bin_size).astype(jnp.int32)
         y_res_label = (y_shift - (y_bin.astype(y_shift.dtype) * loc_y_bin_size + loc_y_bin_size / 2)) / loc_y_bin_size
-        y_res_pred = jnp.take_along_axis(pred_reg[:, y_res_l:y_res_r], y_bin[:, None], axis=1)[:, 0]
+        y_res_pred = _select_bin(pred_reg[:, y_res_l:y_res_r], y_bin)
         loss_y_bin = _masked_softmax_ce(pred_reg[:, y_bin_l:y_bin_r], y_bin, fg)
         loss_y_res = _masked_mean(smooth_l1(y_res_pred, y_res_label), fg)
         d["loss_y_bin"], d["loss_y_res"] = loss_y_bin, loss_y_res
@@ -175,7 +189,7 @@ def get_reg_loss(
         ry_res_label = shift_angle - (ry_bin.astype(shift_angle.dtype) * angle_per_class + angle_per_class / 2)
     ry_res_norm_label = ry_res_label / (angle_per_class / 2)
 
-    ry_res_pred = jnp.take_along_axis(pred_reg[:, ry_res_l:ry_res_r], ry_bin[:, None], axis=1)[:, 0]
+    ry_res_pred = _select_bin(pred_reg[:, ry_res_l:ry_res_r], ry_bin)
     loss_ry_bin = _masked_softmax_ce(pred_reg[:, ry_bin_l:ry_bin_r], ry_bin, fg)
     loss_ry_res = _masked_mean(smooth_l1(ry_res_pred, ry_res_norm_label), fg)
     d["loss_ry_bin"], d["loss_ry_res"] = loss_ry_bin, loss_ry_res
