@@ -281,13 +281,16 @@ def fps_group_banded(xyz: jnp.ndarray, npoint: int, specs):
         ball_query_multi_grouped_banded,
         ball_query_multi_grouped_pallas,
     )
-    from pointrcnn_tpu.ops.sampling import _blockwise_stripes, furthest_point_sample
+    from pointrcnn_tpu.ops.sampling import (
+        _blockwise_stripes,
+        _zsort,
+        furthest_point_sample,
+    )
 
     B, N, _ = xyz.shape
     s = _blockwise_stripes(N, npoint)
     Ns = N // s
-    perm = jnp.argsort(xyz[..., 2], axis=1).astype(jnp.int32)
-    xs = jnp.take_along_axis(xyz, perm[..., None], axis=1)
+    xs, _ = _zsort(xyz)
     sub = furthest_point_sample(xs.reshape(B * s, Ns, 3), npoint // s,
                                 method="exact")
     stripe = jnp.arange(B * s, dtype=jnp.int32)[:, None] % s

@@ -11,8 +11,14 @@ expensive part of the backbone after FPS.  This kernel never leaves VMEM:
   keeps its nearest candidate (the same windowed-candidate scheme
   ``approx_min_k``'s PartialReduce uses, with stride classes instead of
   contiguous windows — identical recall statistics for shuffled points);
-- the k nearest candidates are then extracted from the (chunk, W) class
-  minima by ``kmax`` masked min-reductions, ascending in distance.
+- the class minima are pairwise-min folded down to ``_XW`` lanes (folding
+  classes j and j+W/2 IS the class-(j mod W/2) minimum, so this is exactly a
+  narrower stride-class count applied only to the selection stage), then
+- the k nearest candidates are extracted from the (chunk, _XW) folded minima
+  by ``kmax`` masked min-reductions, ascending in distance.  Extraction does
+  5 masked reduces per neighbor, so it dominates the kernel at large widths;
+  scanning wide + folding + extracting narrow decouples the scan's stride
+  count from the extraction cost (14.3 -> ~6 ms at SA1 train shapes).
 
 Selection is approximate in exactly the way the default XLA path already is
 (a class keeps only its nearest member): with W classes and k neighbors the
@@ -45,7 +51,67 @@ from jax.experimental.pallas import tpu as pltpu
 _INTERPRET = False
 
 _W = 512  # default stride-class count (full-scan path; see _pick_w)
+_XW = 128  # extraction width: class minima fold to this many lanes first
 _BIG = 3.0e38  # python float: jnp scalars would be captured consts in the kernel
+
+
+def _fold_extract(v, g, gx, gy, gz, cx, cy, cz, kmax, emit_rel):
+    """Ascending k-extraction from the stride-class minima, preceded by a
+    pairwise-min tournament fold of the class axis down to ``_XW`` lanes.
+
+    Folding classes j and j + W/2 yields EXACTLY the class-(j mod W/2)
+    minimum, so the fold is semantically just a narrower stride-class count
+    (recall measured 1.00 at every W in {128..2048} on clustered scenes,
+    tools/ab_approximations.py; expected top-k collisions C(k,2)/W stays
+    ~<=4 at W=128, k=32).  The point: the k-extraction below does 5 masked
+    (chunk, W) min-reduces PER NEIGHBOR — it dominated the whole kernel at
+    W=512 (the scan itself is ~1/7 of the cost) — while each fold stage is
+    one compare + a few selects.  Scanning wide + extracting narrow
+    decouples the scan's stride count from the extraction width.
+
+    Returns the packed [dist | idx (| relx | rely | relz)] parts list."""
+    W = v.shape[1]
+    while W > _XW and W % 2 == 0:
+        W //= 2
+        keep = v[:, :W] <= v[:, W:]  # ties keep the lower class
+        v = jnp.where(keep, v[:, :W], v[:, W:])
+        g = jnp.where(keep, g[:, :W], g[:, W:])
+        if emit_rel:
+            gx = jnp.where(keep, gx[:, :W], gx[:, W:])
+            gy = jnp.where(keep, gy[:, :W], gy[:, W:])
+            gz = jnp.where(keep, gz[:, :W], gz[:, W:])
+    chunk = v.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (chunk, W), 1)
+
+    gf = g.astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (chunk, kmax), 1)
+    out_d = jnp.zeros((chunk, kmax), jnp.float32)
+    out_i = jnp.zeros((chunk, kmax), jnp.float32)
+    if emit_rel:
+        out_x = jnp.zeros((chunk, kmax), jnp.float32)
+        out_y = jnp.zeros((chunk, kmax), jnp.float32)
+        out_z = jnp.zeros((chunk, kmax), jnp.float32)
+    for k in range(kmax):
+        m = jnp.min(v, axis=1, keepdims=True)  # (chunk, 1)
+        wcol = jnp.min(jnp.where(v == m, col, 2**30), axis=1, keepdims=True)
+        at_w = col == wcol
+        win = jnp.min(jnp.where(at_w, gf, _BIG), axis=1, keepdims=True)
+        sel = lane == k
+        out_d = out_d + jnp.where(sel, m, 0.0)
+        out_i = out_i + jnp.where(sel, win, 0.0)
+        if emit_rel:
+            wx = jnp.min(jnp.where(at_w, gx, _BIG), axis=1, keepdims=True)
+            wy = jnp.min(jnp.where(at_w, gy, _BIG), axis=1, keepdims=True)
+            wz = jnp.min(jnp.where(at_w, gz, _BIG), axis=1, keepdims=True)
+            out_x = out_x + jnp.where(sel, wx - cx, 0.0)
+            out_y = out_y + jnp.where(sel, wy - cy, 0.0)
+            out_z = out_z + jnp.where(sel, wz - cz, 0.0)
+        v = jnp.where(at_w, _BIG, v)
+
+    parts = [out_d, out_i]
+    if emit_rel:
+        parts += [out_x, out_y, out_z]
+    return parts
 
 
 def _pick_w(candidates: int, kmax: int) -> int:
@@ -117,36 +183,10 @@ def _make_kernel(N: int, kmax: int, w: int, emit_rel: bool, _W: int):
                 gy = jnp.where(upd, jnp.broadcast_to(kt[1:2, :], (chunk, _W)), gy)
                 gz = jnp.where(upd, jnp.broadcast_to(kt[2:3, :], (chunk, _W)), gz)
 
-        # ascending k-extraction from the class minima
-        gf = g.astype(jnp.float32)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (chunk, kmax), 1)
-        out_d = jnp.zeros((chunk, kmax), jnp.float32)
-        out_i = jnp.zeros((chunk, kmax), jnp.float32)
-        if emit_rel:
-            out_x = jnp.zeros((chunk, kmax), jnp.float32)
-            out_y = jnp.zeros((chunk, kmax), jnp.float32)
-            out_z = jnp.zeros((chunk, kmax), jnp.float32)
-        for k in range(kmax):
-            m = jnp.min(v, axis=1, keepdims=True)  # (chunk, 1)
-            wcol = jnp.min(jnp.where(v == m, col, 2**30), axis=1, keepdims=True)
-            at_w = col == wcol
-            win = jnp.min(jnp.where(at_w, gf, _BIG), axis=1, keepdims=True)
-            sel = lane == k
-            out_d = out_d + jnp.where(sel, m, 0.0)
-            out_i = out_i + jnp.where(sel, win, 0.0)
-            if emit_rel:
-                wx = jnp.min(jnp.where(at_w, gx, _BIG), axis=1, keepdims=True)
-                wy = jnp.min(jnp.where(at_w, gy, _BIG), axis=1, keepdims=True)
-                wz = jnp.min(jnp.where(at_w, gz, _BIG), axis=1, keepdims=True)
-                out_x = out_x + jnp.where(sel, wx - cx, 0.0)
-                out_y = out_y + jnp.where(sel, wy - cy, 0.0)
-                out_z = out_z + jnp.where(sel, wz - cz, 0.0)
-            v = jnp.where(at_w, _BIG, v)
-
-        parts = [out_d, out_i]
-        if emit_rel:
-            parts += [out_x, out_y, out_z]
-        out_ref[0] = jnp.concatenate(parts, axis=1)
+        if not emit_rel:
+            gx = gy = gz = None
+        out_ref[0] = jnp.concatenate(
+            _fold_extract(v, g, gx, gy, gz, cx, cy, cz, kmax, emit_rel), axis=1)
 
     return kernel
 
@@ -237,36 +277,10 @@ def _make_banded_kernel(Ns: int, kmax: int, n_bands: int, cpb: int,
                     gy = jnp.where(upd, jnp.broadcast_to(kt[1:2, :], (chunk_rows, _W)), gy)
                     gz = jnp.where(upd, jnp.broadcast_to(kt[2:3, :], (chunk_rows, _W)), gz)
 
-        # ascending k-extraction — identical to _make_kernel
-        gf = g.astype(jnp.float32)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (chunk_rows, kmax), 1)
-        out_d = jnp.zeros((chunk_rows, kmax), jnp.float32)
-        out_i = jnp.zeros((chunk_rows, kmax), jnp.float32)
-        if emit_rel:
-            out_x = jnp.zeros((chunk_rows, kmax), jnp.float32)
-            out_y = jnp.zeros((chunk_rows, kmax), jnp.float32)
-            out_z = jnp.zeros((chunk_rows, kmax), jnp.float32)
-        for k in range(kmax):
-            m = jnp.min(v, axis=1, keepdims=True)
-            wcol = jnp.min(jnp.where(v == m, col, 2**30), axis=1, keepdims=True)
-            at_w = col == wcol
-            win = jnp.min(jnp.where(at_w, gf, _BIG), axis=1, keepdims=True)
-            sel = lane == k
-            out_d = out_d + jnp.where(sel, m, 0.0)
-            out_i = out_i + jnp.where(sel, win, 0.0)
-            if emit_rel:
-                wx = jnp.min(jnp.where(at_w, gx, _BIG), axis=1, keepdims=True)
-                wy = jnp.min(jnp.where(at_w, gy, _BIG), axis=1, keepdims=True)
-                wz = jnp.min(jnp.where(at_w, gz, _BIG), axis=1, keepdims=True)
-                out_x = out_x + jnp.where(sel, wx - cx, 0.0)
-                out_y = out_y + jnp.where(sel, wy - cy, 0.0)
-                out_z = out_z + jnp.where(sel, wz - cz, 0.0)
-            v = jnp.where(at_w, _BIG, v)
-
-        parts = [out_d, out_i]
-        if emit_rel:
-            parts += [out_x, out_y, out_z]
-        out_ref[0] = jnp.concatenate(parts, axis=1)
+        if not emit_rel:
+            gx = gy = gz = None
+        out_ref[0] = jnp.concatenate(
+            _fold_extract(v, g, gx, gy, gz, cx, cy, cz, kmax, emit_rel), axis=1)
 
     return kernel
 

@@ -14,7 +14,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-BATCH = 4
+BATCH = int(os.environ.get("POINTRCNN_PROFILE_BATCH", "4"))
 ITERS = 20
 
 
@@ -43,7 +43,12 @@ def main():
     from pointrcnn_tpu.ops.grouping import ball_query_multi
     from pointrcnn_tpu.ops.common import gather_points
 
-    cfg = _flagship_cfg()
+    if len(sys.argv) > 1:
+        from pointrcnn_tpu.config import load_config
+
+        cfg = load_config(sys.argv[1])
+    else:
+        cfg = _flagship_cfg()
     model = PointRCNN(cfg=cfg, mode="TEST")
     pts = jnp.asarray(_synthetic_cloud(BATCH, cfg.RPN.NUM_POINTS))
     batch = {"pts_input": pts}
@@ -74,11 +79,12 @@ def main():
 
     # kernels at stage-1 scale
     n = cfg.RPN.NUM_POINTS
-    t_fps = bench(jax.jit(lambda x: jnp.sum(furthest_point_sample(x, 4096))), pts,
-                  sync=lambda o: o)
-    print(f"  FPS 16384->4096:      {t_fps:7.2f} ms")
+    np1 = cfg.RPN.SA_CONFIG.NPOINTS[0]
+    t_fps = bench(jax.jit(lambda x: jnp.sum(furthest_point_sample(
+        x, np1, method=cfg.RPN.FPS_METHOD))), pts, sync=lambda o: o)
+    print(f"  FPS {n}->{np1} [{cfg.RPN.FPS_METHOD}]: {t_fps:7.2f} ms")
 
-    sub = gather_points(pts, furthest_point_sample(pts, 4096))
+    sub = gather_points(pts, furthest_point_sample(pts, np1))
     specs = tuple(zip(cfg.RPN.SA_CONFIG.RADIUS[0], cfg.RPN.SA_CONFIG.NSAMPLE[0]))
     t_bq = bench(jax.jit(lambda x, s: sum(
         jnp.sum(o) for o in ball_query_multi(x, s, specs))),
